@@ -1,0 +1,129 @@
+"""Causal local (banded) attention.
+
+The streaming TF-GridNet attends with a strictly local causal window:
+each time frame's query attends to exactly `window` key/value slots
+[t-window+1, t], where slots before the start of the stream are
+*zero* keys/values (score contribution 0, not -inf) — that is the
+semantics of the reference's zero-initialized K/V ring buffers
+(reference tfgridnet_causal.py:408-427,553-574).
+
+The reference materializes the band with `unfold`, duplicating K/V
+`window`x in memory (tfgridnet_causal.py:429-454). TPU-first we
+instead use the two-chunk trick: split time into chunks of size W,
+attend each query chunk to [previous chunk ++ own chunk] with a band
+mask. Memory is O(T * 2W) scores instead of O(T * W * D) duplicated
+keys, and every op is a batched matmul on the MXU.
+
+`local_attention_step` is the O(1)-state streaming form used inside
+`lax.scan`: a GEMV of the current query against a [window] ring
+buffer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    window: int,
+                    k_buf: jnp.ndarray | None = None,
+                    v_buf: jnp.ndarray | None = None):
+    """Banded causal attention over full sequences.
+
+    Args:
+      q: [B, T, Dk] queries (already scaled-normed as the model wants).
+      k: [B, T, Dk] keys.
+      v: [B, T, Dv] values.
+      window: band width W; query t sees keys [t-W+1, t].
+      k_buf / v_buf: optional [B, W-1, D*] carried context prepended
+        before t=0 (zeros when absent — stream start).
+
+    Returns:
+      (out [B, T, Dv], new_k_buf [B, W-1, Dk], new_v_buf [B, W-1, Dv])
+    """
+    b, t, dk = q.shape
+    dv = v.shape[-1]
+    w = window
+    scale = 1.0 / np.sqrt(dk)
+
+    if k_buf is None:
+        k_buf = jnp.zeros((b, w - 1, dk), k.dtype)
+    if v_buf is None:
+        v_buf = jnp.zeros((b, w - 1, dv), v.dtype)
+
+    # History including carried context, aligned so that global key
+    # position of hist[:, i] is i - (w - 1).
+    k_hist = jnp.concatenate([k_buf, k], axis=1)  # [B, W-1+T, Dk]
+    v_hist = jnp.concatenate([v_buf, v], axis=1)
+
+    new_k_buf = k_hist[:, -(w - 1):]
+    new_v_buf = v_hist[:, -(w - 1):]
+
+    # Pad T to a multiple of W; pad keys on the right too (the band
+    # mask guarantees padded keys are never visible to valid queries).
+    nc = -(-t // w)
+    pad_t = nc * w - t
+    qp = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0)))
+    # Keys: leading w-1 context + T + right pad; prepend 1 extra zero
+    # so that chunked history starts exactly one chunk before chunk 0.
+    kp = jnp.pad(k_hist, ((0, 0), (1, pad_t), (0, 0)))
+    vp = jnp.pad(v_hist, ((0, 0), (1, pad_t), (0, 0)))
+
+    qc = qp.reshape(b, nc, w, dk)
+    kc = kp.reshape(b, nc + 1, w, dk)
+    vc = vp.reshape(b, nc + 1, w, dv)
+
+    # Two consecutive key chunks per query chunk: [B, nc, 2W, D]
+    k2 = jnp.concatenate([kc[:, :-1], kc[:, 1:]], axis=2)
+    v2 = jnp.concatenate([vc[:, :-1], vc[:, 1:]], axis=2)
+
+    scores = jnp.einsum("bnwd,bnxd->bnwx", qc, k2) * scale
+    # Query i (within chunk) is at concat position W + i; its band is
+    # concat positions [i + 1, W + i].
+    i_idx = np.arange(w)[:, None]
+    x_idx = np.arange(2 * w)[None, :]
+    band = (x_idx >= i_idx + 1) & (x_idx <= w + i_idx)
+    scores = jnp.where(jnp.asarray(band), scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bnwx,bnxd->bnwd", attn, v2)
+    out = out.reshape(b, nc * w, dv)[:, :t]
+    return out, new_k_buf, new_v_buf
+
+
+def local_attention_step(q_t: jnp.ndarray, k_t: jnp.ndarray,
+                         v_t: jnp.ndarray,
+                         k_buf: jnp.ndarray, v_buf: jnp.ndarray):
+    """One streaming step of the banded attention.
+
+    Args:
+      q_t/k_t/v_t: [B, D*] current frame's projections.
+      k_buf: [B, W-1, Dk], v_buf: [B, W-1, Dv] ring buffers.
+
+    Returns (out [B, Dv], new_k_buf, new_v_buf).
+    """
+    dk = q_t.shape[-1]
+    scale = 1.0 / np.sqrt(dk)
+    k_all = jnp.concatenate([k_buf, k_t[:, None]], axis=1)  # [B, W, Dk]
+    v_all = jnp.concatenate([v_buf, v_t[:, None]], axis=1)
+    scores = jnp.einsum("bd,bwd->bw", q_t, k_all) * scale
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bw,bwd->bd", attn, v_all)
+    return out, k_all[:, 1:], v_all[:, 1:]
+
+
+def causal_banded_attention_full(q, k, v, window):
+    """Full (offline) causal attention with band `window`, softmax over
+    only the in-band *real* positions (mask semantics of reference
+    tfgridnet_causal.py:456-487, used when chunk_causal streaming
+    buffers are absent). q/k/v: [B, T, D]."""
+    t = q.shape[1]
+    dk = q.shape[-1]
+    scores = jnp.einsum("btd,bsd->bts", q, k) / np.sqrt(dk)
+    i = np.arange(t)[:, None]
+    j = np.arange(t)[None, :]
+    mask = (j <= i) & (j > i - window)
+    scores = jnp.where(jnp.asarray(mask), scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bts,bsd->btd", attn, v)

@@ -1,0 +1,134 @@
+"""LSTM cells as `lax.scan` recurrences with PyTorch-compatible
+parameterization.
+
+Parameter layout matches torch.nn.LSTM exactly (gate order i, f, g, o;
+`w_ih [4H, I]`, `w_hh [4H, H]`, two bias vectors) so reference
+checkpoints convert weight-for-weight (north-star requirement, see
+/root/repo/BASELINE.md). The input projection for *all* timesteps is
+hoisted out of the scan into one large matmul (MXU-friendly); only the
+[*, H] x [H, 4H] recurrent matmul stays inside the scan step.
+
+Used for the intra-frequency BiLSTM and inter-time uni-LSTM of the
+GridNet blocks (reference src/models/tfgridnet_realtime/
+tfgridnet_causal.py:336-349,504-538).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LSTMParams(NamedTuple):
+    w_ih: jnp.ndarray  # [4H, I]
+    w_hh: jnp.ndarray  # [4H, H]
+    b_ih: jnp.ndarray  # [4H]
+    b_hh: jnp.ndarray  # [4H]
+
+
+def _lstm_scan(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray,
+               h0: jnp.ndarray, c0: jnp.ndarray, hidden: int,
+               reverse: bool = False):
+    """Scan the recurrent part.
+
+    x_proj: [B, T, 4H] (input projection + both biases already added)
+    w_hh_t: [H, 4H]; h0, c0: [B, H].
+    Returns (ys [B, T, H], (hT, cT)).
+    """
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh_t  # [B, 4H]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), (h_t, c_t)
+
+
+def lstm_apply(params: LSTMParams, x: jnp.ndarray,
+               h0: jnp.ndarray | None = None,
+               c0: jnp.ndarray | None = None,
+               reverse: bool = False):
+    """Run a single-direction LSTM over x [B, T, I].
+
+    Returns (outputs [B, T, H], (hT [B, H], cT [B, H])).
+    """
+    b = x.shape[0]
+    hidden = params.w_hh.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((b, hidden), x.dtype)
+    x_proj = x @ params.w_ih.T + (params.b_ih + params.b_hh)
+    return _lstm_scan(x_proj, params.w_hh.T, h0, c0, hidden,
+                      reverse=reverse)
+
+
+def lstm_step(params: LSTMParams, x_t: jnp.ndarray,
+              h: jnp.ndarray, c: jnp.ndarray):
+    """One LSTM timestep for streaming: x_t [B, I], h/c [B, H]."""
+    gates = x_t @ params.w_ih.T + (params.b_ih + params.b_hh) \
+        + h @ params.w_hh.T
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return h, c
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class LSTM(nn.Module):
+    """Single-layer LSTM module (torch.nn.LSTM parameter conventions).
+
+    `bidirectional=True` concatenates forward and reverse outputs
+    (reverse direction sees the sequence back-to-front, like torch).
+    """
+
+    in_features: int
+    hidden_features: int
+    bidirectional: bool = False
+
+    def _direction_params(self, suffix: str) -> LSTMParams:
+        h, i = self.hidden_features, self.in_features
+        bound = 1.0 / (h ** 0.5)
+        init = _uniform_init(bound)
+        return LSTMParams(
+            w_ih=self.param(f"w_ih{suffix}", init, (4 * h, i)),
+            w_hh=self.param(f"w_hh{suffix}", init, (4 * h, h)),
+            b_ih=self.param(f"b_ih{suffix}", init, (4 * h,)),
+            b_hh=self.param(f"b_hh{suffix}", init, (4 * h,)),
+        )
+
+    @nn.compact
+    def __call__(self, x, h0=None, c0=None, *, step: bool = False):
+        """x: [B, T, I] (or [B, I] when step=True).
+
+        Returns (y, (hT, cT)); y is [B, T, H*dirs] ([B, H] for step).
+        """
+        fwd = self._direction_params("_l0")
+        if step:
+            assert not self.bidirectional
+            h, c = lstm_step(fwd, x, h0, c0)
+            return h, (h, c)
+        y_f, (h_f, c_f) = lstm_apply(fwd, x, h0, c0)
+        if not self.bidirectional:
+            return y_f, (h_f, c_f)
+        bwd = self._direction_params("_l0_reverse")
+        y_b, (h_b, c_b) = lstm_apply(bwd, x, reverse=True)
+        y = jnp.concatenate([y_f, y_b], axis=-1)
+        return y, ((h_f, h_b), (c_f, c_b))

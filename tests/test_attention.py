@@ -1,0 +1,95 @@
+"""Banded local attention: chunked implementation vs a literal O(T*W)
+reference, and streaming-step vs full equivalence."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from lookoncetohear_tpu.ops import attention as att
+
+
+def _naive_banded(q, k, v, w, k_buf=None, v_buf=None):
+    """Literal semantics: each query t softmaxes over exactly w slots
+    [t-w+1, t]; out-of-stream slots are zero keys/values (or carried
+    buffer content)."""
+    b, t, dk = q.shape
+    dv = v.shape[-1]
+    if k_buf is None:
+        k_buf = np.zeros((b, w - 1, dk), np.float32)
+        v_buf = np.zeros((b, w - 1, dv), np.float32)
+    k_hist = np.concatenate([k_buf, k], axis=1)
+    v_hist = np.concatenate([v_buf, v], axis=1)
+    out = np.zeros((b, t, dv), np.float32)
+    for tt in range(t):
+        ks = k_hist[:, tt:tt + w]  # [B, w, dk]
+        vs = v_hist[:, tt:tt + w]
+        scores = np.einsum("bd,bwd->bw", q[:, tt], ks) / np.sqrt(dk)
+        scores = scores - scores.max(-1, keepdims=True)
+        e = np.exp(scores)
+        p = e / e.sum(-1, keepdims=True)
+        out[:, tt] = np.einsum("bw,bwd->bd", p, vs)
+    return out
+
+
+def test_chunked_matches_naive():
+    rng = np.random.default_rng(0)
+    b, t, dk, dv, w = 2, 23, 5, 4, 7
+    q = rng.standard_normal((b, t, dk)).astype(np.float32)
+    k = rng.standard_normal((b, t, dk)).astype(np.float32)
+    v = rng.standard_normal((b, t, dv)).astype(np.float32)
+    out, nk, nv = att.local_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), w)
+    ref = _naive_banded(q, k, v, w)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    # Ring buffers hold the last w-1 keys/values.
+    np.testing.assert_allclose(np.asarray(nk), k[:, -(w - 1):],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nv), v[:, -(w - 1):],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_chunked_with_carried_buffers():
+    rng = np.random.default_rng(1)
+    b, t, d, w = 1, 11, 6, 5
+    q = rng.standard_normal((b, t, d)).astype(np.float32)
+    k = rng.standard_normal((b, t, d)).astype(np.float32)
+    v = rng.standard_normal((b, t, d)).astype(np.float32)
+    kb = rng.standard_normal((b, w - 1, d)).astype(np.float32)
+    vb = rng.standard_normal((b, w - 1, d)).astype(np.float32)
+    out, _, _ = att.local_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), w,
+        jnp.asarray(kb), jnp.asarray(vb))
+    ref = _naive_banded(q, k, v, w, kb, vb)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_steps_match_full():
+    rng = np.random.default_rng(2)
+    b, t, d, w = 3, 17, 8, 6
+    q = rng.standard_normal((b, t, d)).astype(np.float32)
+    k = rng.standard_normal((b, t, d)).astype(np.float32)
+    v = rng.standard_normal((b, t, d)).astype(np.float32)
+    full, _, _ = att.local_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), w)
+    kb = jnp.zeros((b, w - 1, d))
+    vb = jnp.zeros((b, w - 1, d))
+    outs = []
+    for tt in range(t):
+        o, kb, vb = att.local_attention_step(
+            jnp.asarray(q[:, tt]), jnp.asarray(k[:, tt]),
+            jnp.asarray(v[:, tt]), kb, vb)
+        outs.append(np.asarray(o))
+    np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_window_exceeds_sequence():
+    rng = np.random.default_rng(3)
+    b, t, d, w = 1, 4, 3, 10
+    q = rng.standard_normal((b, t, d)).astype(np.float32)
+    k = rng.standard_normal((b, t, d)).astype(np.float32)
+    v = rng.standard_normal((b, t, d)).astype(np.float32)
+    out, _, _ = att.local_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), w)
+    ref = _naive_banded(q, k, v, w)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
