@@ -1,0 +1,200 @@
+"""Loss/metric numerics, cross-checked against torch (CPU) and
+hand-rolled numpy formulas."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+from lookoncetohear_tpu import losses
+from lookoncetohear_tpu.losses.loss_fn import LossFn
+from lookoncetohear_tpu.losses.sdr import pairwise_neg_sisdr
+from lookoncetohear_tpu.metrics import ild_diff, itd_diff
+from lookoncetohear_tpu.metrics.improvement import metric_improvement
+
+
+def _rand(*shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+class TestSDR:
+    def test_snr_formula(self):
+        p, t = _rand(4, 100, seed=1), _rand(4, 100, seed=2)
+        got = np.asarray(losses.snr(jnp.asarray(p), jnp.asarray(t)))
+        want = 10 * np.log10(np.sum(t**2, -1) / np.sum((t - p)**2, -1))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_si_snr_scale_invariance(self):
+        p, t = _rand(3, 200, seed=3), _rand(3, 200, seed=4)
+        a = losses.si_snr(jnp.asarray(p), jnp.asarray(t))
+        b = losses.si_snr(jnp.asarray(5.0 * p), jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    def test_si_snr_perfect(self):
+        t = _rand(2, 100, seed=5)
+        v = np.asarray(losses.si_snr(jnp.asarray(t), jnp.asarray(t)))
+        assert (v > 60).all()
+
+    def test_neg_sdr_asteroid_formulas(self):
+        e, t = _rand(4, 128, seed=6), _rand(4, 128, seed=7)
+        ez = e - e.mean(-1, keepdims=True)
+        tz = t - t.mean(-1, keepdims=True)
+        # snr
+        want = -10 * np.log10(
+            np.sum(tz**2, -1) / (np.sum((ez - tz)**2, -1) + 1e-8) + 1e-8)
+        got = np.asarray(losses.neg_sdr(jnp.asarray(e), jnp.asarray(t),
+                                        "snr"))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        # sisdr
+        dot = np.sum(ez * tz, -1, keepdims=True)
+        st = dot * tz / (np.sum(tz**2, -1, keepdims=True) + 1e-8)
+        want = -10 * np.log10(
+            np.sum(st**2, -1) / (np.sum((ez - st)**2, -1) + 1e-8) + 1e-8)
+        got = np.asarray(losses.neg_sdr(jnp.asarray(e), jnp.asarray(t),
+                                        "sisdr"))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        # sdsdr: scaled target energy over (est - target) noise
+        want = -10 * np.log10(
+            np.sum(st**2, -1) / (np.sum((ez - tz)**2, -1) + 1e-8) + 1e-8)
+        got = np.asarray(losses.neg_sdr(jnp.asarray(e), jnp.asarray(t),
+                                        "sdsdr"))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_snr_loss_is_negative_mean(self):
+        p, t = _rand(2, 64, seed=8), _rand(2, 64, seed=9)
+        got = float(losses.snr_loss(jnp.asarray(p), jnp.asarray(t)))
+        want = -float(np.mean(np.asarray(
+            losses.snr(jnp.asarray(p), jnp.asarray(t)))))
+        assert abs(got - want) < 1e-5
+
+
+class TestCosineEmbedding:
+    @pytest.mark.parametrize("margin", [0.0, 0.5])
+    def test_matches_torch(self, margin):
+        a, b = _rand(6, 32, seed=10), _rand(6, 32, seed=11)
+        for yval in (1.0, -1.0):
+            y = np.full(6, yval, np.float32)
+            want = torch.nn.CosineEmbeddingLoss(margin=margin)(
+                torch.tensor(a), torch.tensor(b), torch.tensor(y)).item()
+            got = float(losses.cosine_embedding_loss(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(y), margin))
+            assert abs(got - want) < 1e-5
+
+
+class TestLossFn:
+    def test_names_dispatch(self):
+        e, g = _rand(2, 2, 256, seed=12), _rand(2, 2, 256, seed=13)
+        for name in ("sisdr", "snr", "sdsdr", "snr_sdsdr", "fused"):
+            v = LossFn(name)(jnp.asarray(e), jnp.asarray(g))
+            assert np.isfinite(float(v)), name
+
+    def test_snr_sdsdr_is_max(self):
+        e, g = _rand(3, 1, 100, seed=14), _rand(3, 1, 100, seed=15)
+        er, gr = e.reshape(-1, 100), g.reshape(-1, 100)
+        want = float(np.mean(np.maximum(
+            np.asarray(losses.neg_sdr(jnp.asarray(er), jnp.asarray(gr),
+                                      "sdsdr")),
+            np.asarray(losses.neg_sdr(jnp.asarray(er), jnp.asarray(gr),
+                                      "snr")))))
+        got = float(LossFn("snr_sdsdr")(jnp.asarray(e), jnp.asarray(g)))
+        assert abs(got - want) < 1e-4
+
+    def test_pit_reorders(self):
+        g1, g2 = _rand(2, 2, 300, seed=16), _rand(2, 2, 300, seed=17)
+        # estimates are the swapped ground truths + tiny noise
+        e1 = g2 + 0.01 * _rand(2, 2, 300, seed=18)
+        e2 = g1 + 0.01 * _rand(2, 2, 300, seed=19)
+        loss, o1, o2 = LossFn("pit_sisdr")(
+            None, None, est1=jnp.asarray(e1), est2=jnp.asarray(e2),
+            gt1=jnp.asarray(g1), gt2=jnp.asarray(g2))
+        # after reordering, o1 should match g1 (i.e. equal e2)
+        np.testing.assert_allclose(np.asarray(o1), e2, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o2), e1, atol=1e-6)
+        assert float(loss) < -20
+
+    def test_sisdr_with_sum(self):
+        e, g = _rand(2, 2, 128, seed=20), _rand(2, 2, 128, seed=21)
+        noise = _rand(2, 2, 128, seed=22)
+        mix = e + noise
+        v = LossFn("sisdr_with_sum")(
+            jnp.asarray(e), jnp.asarray(g),
+            noise_estimate=jnp.asarray(noise), mixture=jnp.asarray(mix))
+        # mixture-consistency term is exactly zero here
+        want = float(np.mean(np.asarray(losses.neg_sdr(
+            jnp.asarray(e.reshape(-1, 128)),
+            jnp.asarray(g.reshape(-1, 128)), "sisdr"))))
+        assert abs(float(v) - want) < 1e-4
+
+    def test_spectral_losses_finite_and_zero_at_identity(self):
+        x = _rand(2, 4000, seed=23)
+        for name in ("mel", "l1_mel"):
+            fn = LossFn(name)
+            v_same = float(fn(jnp.asarray(x), jnp.asarray(x)))
+            assert abs(v_same) < 1e-3, name
+            y = _rand(2, 4000, seed=24)
+            v_diff = float(fn(jnp.asarray(x), jnp.asarray(y)))
+            assert np.isfinite(v_diff) and v_diff > v_same, name
+
+
+class TestBinauralMetrics:
+    """Synthetic binaural chirps with known sample shifts — the
+    reference's own self-test construction (src/eval/binaural.py:
+    151-198)."""
+
+    @staticmethod
+    def _chirp(sr, shift, t_dur=5, rscale=0.5):
+        t = np.arange(0, t_dur, 1 / sr)
+        x = np.cos(2 * np.pi * (100 + 250 * t) * t)[None]
+        y = np.roll(x, -shift) * rscale
+        return np.concatenate([x, y], axis=0)
+
+    def test_itd_exact_on_clean_shifts(self):
+        sr = 8000
+        gts, ests = [], []
+        for shift in range(-4, 5):
+            gt = self._chirp(sr, shift) * 0.1
+            gts.append(gt)
+            ests.append(gt.copy())
+        d = itd_diff(np.array(ests), np.array(gts), sr)
+        np.testing.assert_allclose(d, 0.0)
+
+    def test_itd_detects_introduced_shift(self):
+        sr = 8000
+        gt = self._chirp(sr, 0) * 0.1
+        est = self._chirp(sr, 3) * 0.1
+        d = itd_diff(est[None], gt[None], sr)
+        np.testing.assert_allclose(d, 3 / sr * 1e6, rtol=1e-6)
+
+    def test_ild_known_ratio(self):
+        sr = 8000
+        gt = self._chirp(sr, 0, rscale=0.5)
+        est = self._chirp(sr, 0, rscale=0.25)
+        d = ild_diff(est[None], gt[None])
+        # ILD(gt) = 10log10(1/0.25), ILD(est) = 10log10(1/0.0625)
+        want = abs(10 * np.log10(1 / 0.25**2) - 10 * np.log10(1 / 0.5**2))
+        np.testing.assert_allclose(d, want, rtol=1e-5)
+
+    def test_moving_masks_silent_chunks(self):
+        sr = 8000
+        gt = self._chirp(sr, 2) * 0.1
+        gt[:, :sr] = 0.0  # first second silent -> masked out
+        est = gt.copy()
+        d = itd_diff(est[None], gt[None], sr, moving=True)
+        assert np.all(np.isfinite(d)) and np.allclose(d, 0.0)
+
+
+class TestImprovement:
+    def test_improvement_zero_when_pred_equals_mixture(self):
+        mix = _rand(3, 2, 500, seed=25)
+        tgt = _rand(3, 2, 500, seed=26)
+        gain = metric_improvement(losses.si_snr, jnp.asarray(mix),
+                                  jnp.asarray(mix), jnp.asarray(tgt))
+        np.testing.assert_allclose(np.asarray(gain), 0.0, atol=1e-4)
+
+    def test_improvement_positive_when_pred_is_target(self):
+        mix = _rand(3, 2, 500, seed=27)
+        tgt = _rand(3, 2, 500, seed=28)
+        gain = metric_improvement(losses.si_snr, jnp.asarray(mix),
+                                  jnp.asarray(tgt), jnp.asarray(tgt))
+        assert (np.asarray(gain) > 20).all()
