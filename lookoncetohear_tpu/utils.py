@@ -37,9 +37,9 @@ _COMPAT_REGISTRY = {
         "lookoncetohear_tpu.models.net.OfflineSeparatorNet",
     # Datasets
     "src.datasets.MixLibriSpeechNoisyEnrollNorm.MixLibriSpeechNoisyEnroll":
-        "lookoncetohear_tpu.data.dataset.MixLibriSpeechNoisyEnroll",
+        "lookoncetohear_tpu.data.datasets.MixLibriSpeechNoisyEnroll",
     "src.datasets.MixLibriSpeechNoisyEnroll.MixLibriSpeechNoisyEnroll":
-        "lookoncetohear_tpu.data.dataset.MixLibriSpeechNoisyEnroll",
+        "lookoncetohear_tpu.data.datasets.MixLibriSpeechNoisyEnroll",
     # Synthetic fixtures (this framework's own addition)
     "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset":
         "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",

@@ -1,0 +1,244 @@
+"""Data pipeline: loudness meter, colored noise, scene render,
+spatializers (with generated SOFA/BRIR fixtures), synthetic dataset,
+loader/collate."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lookoncetohear_tpu.data import audio_io
+from lookoncetohear_tpu.data.augmentations import powerlaw_psd_gaussian
+from lookoncetohear_tpu.data.loader import (DataLoader, collate,
+                                            prefetch_to_device,
+                                            shard_indices)
+from lookoncetohear_tpu.data.loudness import (gain_to_target,
+                                              integrated_loudness)
+from lookoncetohear_tpu.data.scene import (generate_scene_specs,
+                                           load_scene, render_scene)
+from lookoncetohear_tpu.data.spatializer import (CIPICSimulator,
+                                                 MultiChSimulator)
+from lookoncetohear_tpu.data.synthetic import SyntheticTSEDataset
+
+SR = 16000
+
+
+class TestLoudness:
+    def test_sine_lufs(self):
+        t = np.arange(SR * 3) / SR
+        x = np.sin(2 * np.pi * 997.0 * t)
+        lufs = integrated_loudness(x, SR)
+        # unit 997 Hz sine ~= -3.0 dB mean square, K-weighting ~0 dB
+        assert -4.5 < lufs < -2.5
+
+    def test_gain_moves_to_target(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(SR * 2) * 0.1
+        g = gain_to_target(x, SR, -25.0)
+        assert abs(integrated_loudness(x * g, SR) - (-25.0)) < 0.05
+
+    def test_relative_gate(self):
+        # mostly silence with a short burst: gating should ignore the
+        # silent majority
+        x = np.zeros(SR * 5)
+        burst = np.sin(2 * np.pi * 500 * np.arange(SR) / SR)
+        x[:SR] = burst
+        full = integrated_loudness(np.tile(burst, 5), SR)
+        gated = integrated_loudness(x, SR)
+        assert abs(gated - full) < 1.5
+
+
+class TestColoredNoise:
+    @pytest.mark.parametrize("beta", [0, 1, 2])
+    def test_unit_variance(self, beta):
+        rng = np.random.default_rng(1)
+        x = powerlaw_psd_gaussian(beta, (16, 16384), rng=rng)
+        assert abs(x.std() - 1.0) < 0.15
+
+    def test_spectral_slope(self):
+        rng = np.random.default_rng(2)
+        x = powerlaw_psd_gaussian(2.0, (64, 8192), rng=rng)
+        ps = np.abs(np.fft.rfft(x, axis=-1)) ** 2
+        ps = ps.mean(0)
+        f = np.fft.rfftfreq(8192)
+        lo = ps[(f > 0.001) & (f < 0.01)].mean()
+        hi = ps[(f > 0.1) & (f < 0.5)].mean()
+        # brown noise: ~40 dB/decade; expect huge ratio
+        assert lo / hi > 1e2
+
+
+def _make_corpus(root):
+    """Tiny wav corpus: 3 'speakers' + 1 noise label."""
+    fg = os.path.join(root, "fg")
+    bg = os.path.join(root, "bg")
+    rng = np.random.default_rng(3)
+    for spk in ["101", "202", "303"]:
+        d = os.path.join(fg, spk)
+        os.makedirs(d)
+        for k in range(2):
+            t = np.arange(SR * 6) / SR
+            f0 = 100 + 50 * int(spk) % 300
+            x = 0.4 * np.sin(2 * np.pi * (f0 + 10 * k) * t)
+            audio_io.write_wav(os.path.join(d, f"{spk}-0-{k}.wav"),
+                               x.astype(np.float32), SR)
+    d = os.path.join(bg, "tt")
+    os.makedirs(d)
+    x = 0.2 * rng.standard_normal(SR * 7)
+    audio_io.write_wav(os.path.join(d, "noise1.wav"),
+                       x.astype(np.float32), SR)
+    return fg, bg
+
+
+class TestScene:
+    def test_generate_and_render(self, tmp_path):
+        fg, bg = _make_corpus(str(tmp_path))
+        out = str(tmp_path / "jams")
+        generate_scene_specs(fg, bg, out, num_soundscapes=3, seed=7)
+        dirs = sorted(os.listdir(out))
+        assert dirs == ["00000000", "00000001", "00000002"]
+        scene = load_scene(os.path.join(out, dirs[0]))
+        assert scene.events[0].role == "background"
+        assert 2 <= len(scene.events) - 1 <= 3
+
+        mixture, jams, ann_list, event_audio = render_scene(
+            os.path.join(out, dirs[0]), fg, bg)
+        n = int(scene.duration * scene.sr)
+        assert mixture.shape == (n,)
+        assert len(event_audio) == len(scene.events)
+        assert ann_list[0][-1] in ("101", "202", "303")
+        # loudness: each fg event should sit ~snr above ref_db
+        for ev, audio in zip(scene.events[1:], event_audio[1:]):
+            lufs = integrated_loudness(audio, scene.sr)
+            assert abs(lufs - (scene.ref_db + ev.snr)) < 1.0
+
+    def test_determinism(self, tmp_path):
+        fg, bg = _make_corpus(str(tmp_path))
+        out1, out2 = str(tmp_path / "j1"), str(tmp_path / "j2")
+        generate_scene_specs(fg, bg, out1, num_soundscapes=2, seed=9)
+        generate_scene_specs(fg, bg, out2, num_soundscapes=2, seed=9)
+        s1 = load_scene(os.path.join(out1, "00000001"))
+        s2 = load_scene(os.path.join(out2, "00000001"))
+        assert [e.source_file for e in s1.events] == \
+            [e.source_file for e in s2.events]
+        assert [e.snr for e in s1.events] == [e.snr for e in s2.events]
+
+
+def _make_sofa(path, n_dirs=10, delay_pairs=None):
+    """SOFA fixture: per-direction stereo delta IRs with known delays."""
+    import h5py
+    ir = np.zeros((n_dirs, 2, 64), np.float64)
+    for m in range(n_dirs):
+        dl, dr = (m % 5, (m * 2) % 7) if delay_pairs is None \
+            else delay_pairs[m]
+        ir[m, 0, dl] = 1.0
+        ir[m, 1, dr] = 1.0
+    with h5py.File(path, "w") as f:
+        f.create_dataset("Data.IR", data=ir)
+        f.create_dataset("Data.SamplingRate", data=np.array([SR * 1.0]))
+    return ir
+
+
+class TestSpatializer:
+    def _setup(self, tmp_path):
+        sofa_dir = tmp_path / "sofa"
+        sofa_dir.mkdir()
+        _make_sofa(str(sofa_dir / "subj1.sofa"))
+        _make_sofa(str(sofa_dir / "subj2.sofa"))
+        listfile = str(sofa_dir / "list.txt")
+        with open(listfile, "w") as f:
+            f.write("subj1.sofa\nsubj2.sofa")
+        return listfile
+
+    def test_cipic_shapes_and_seeding(self, tmp_path):
+        listfile = self._setup(tmp_path)
+        sim = CIPICSimulator(listfile, SR)
+        sim.face_to_face_idx = 0
+        rng = np.random.default_rng(4)
+        srcs = [rng.standard_normal(SR).astype(np.float32)
+                for _ in range(2)]
+        noise = rng.standard_normal(SR).astype(np.float32)
+        ev1, nz1 = sim.simulate(srcs, noise, seed=5)
+        ev2, nz2 = sim.simulate(srcs, noise, seed=5)
+        assert ev1[0].shape == (2, SR)
+        np.testing.assert_array_equal(ev1[0], ev2[0])
+        np.testing.assert_array_equal(nz1, nz2)
+        ev3, _ = sim.simulate(srcs, noise, seed=6)
+        assert not np.array_equal(ev1[0], ev3[0])
+
+    def test_face_to_face_pins_direction(self, tmp_path):
+        listfile = self._setup(tmp_path)
+        sim = CIPICSimulator(listfile, SR)
+        sim.face_to_face_idx = 0  # direction 0 has delays (0, 0)
+        src = np.zeros(100, np.float32)
+        src[0] = 1.0
+        for seed in range(5):
+            evs, _ = sim.simulate([src, src], src, seed=seed,
+                                  face_to_face_idx=1)
+            # f2f source got direction 0 -> identical L/R impulse at 0
+            np.testing.assert_allclose(evs[1][0], evs[1][1])
+            assert evs[1][0][0] == pytest.approx(1.0)
+
+
+class TestSyntheticDataset:
+    def test_schema_and_determinism(self):
+        ds = SyntheticTSEDataset(dset="val", n_samples=4, duration=1.0)
+        (i1, t1), (i2, t2) = ds[2], ds[2]
+        assert i1["mixture"].shape == (2, SR)
+        assert i1["enrollments"].shape == (1, 2, SR)
+        assert t1["target"].shape == (2, SR)
+        assert t1["embedding_gt"].shape == (1, 256)
+        np.testing.assert_array_equal(i1["mixture"], i2["mixture"])
+        np.testing.assert_array_equal(t1["embedding_gt"],
+                                      t2["embedding_gt"])
+
+    def test_mixture_is_sum_of_target_and_rest(self):
+        ds = SyntheticTSEDataset(dset="test", n_samples=2, duration=1.0)
+        inputs, targets = ds[0]
+        # target is one component of the mixture: removing it reduces
+        # correlation with the target
+        resid = inputs["mixture"] - targets["target"]
+        c_before = np.abs(np.sum(inputs["mixture"] * targets["target"]))
+        c_after = np.abs(np.sum(resid * targets["target"]))
+        assert c_after < 0.5 * c_before
+
+    def test_embeddings_unit_norm_and_distinct(self):
+        ds = SyntheticTSEDataset(dset="train", n_samples=8, duration=0.5)
+        _, t = ds[0]
+        assert abs(np.linalg.norm(t["embedding_gt"]) - 1.0) < 1e-5
+        sims = ds.embeddings @ ds.embeddings.T
+        off = sims - np.eye(len(sims))
+        assert np.abs(off).max() < 0.5
+
+
+class TestLoader:
+    def test_collate_nested(self):
+        s = [({"a": np.ones(3), "s": "x", "l": [np.zeros(2), np.ones(2)]},
+              {"y": np.float32(1.0)}) for _ in range(4)]
+        inputs, targets = collate(s)
+        assert inputs["a"].shape == (4, 3)
+        assert inputs["s"] == ["x"] * 4
+        assert inputs["l"][0].shape == (4, 2)
+        assert targets["y"].shape == (4,)
+
+    def test_shard_indices_partition(self):
+        parts = [shard_indices(10, shuffle=True, seed=1, epoch=0,
+                               process_index=i, process_count=3)
+                 for i in range(3)]
+        allidx = np.concatenate(parts)
+        assert sorted(allidx.tolist()) == list(range(10))
+
+    def test_dataloader_batches(self):
+        ds = SyntheticTSEDataset(dset="val", n_samples=6, duration=0.25)
+        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=0,
+                        shard_across_processes=False)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0][0]["mixture"].shape == (2, 2, SR // 4)
+
+    def test_prefetch(self):
+        ds = SyntheticTSEDataset(dset="val", n_samples=4, duration=0.25)
+        dl = DataLoader(ds, batch_size=2, shard_across_processes=False)
+        out = list(prefetch_to_device(iter(dl), size=2))
+        assert len(out) == 2
+        import jax
+        assert isinstance(out[0][0]["mixture"], jax.Array)
