@@ -1,0 +1,6 @@
+from lookoncetohear_tpu.parallel.mesh import (batch_sharding, data_mesh,
+                                              replicated_sharding,
+                                              shard_batch)
+
+__all__ = ["data_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch"]

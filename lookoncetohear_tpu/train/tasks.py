@@ -1,0 +1,183 @@
+"""Training tasks — the reference's Lightning modules as pure-function
+JAX tasks.
+
+* `TSETask`  <- reference src/ts_hear_embed_pl_module.py:19-146:
+  loss = mean −SNR(output, target); metrics SNRi / SI-SNRi against the
+  first/last mixture channels; monitor val/si_snr_i (max); optional
+  direction-of-arrival CE auxiliary loss.
+* `EmbedTask` <- reference src/binaural_embed_pl_module.py:15-103:
+  CosineEmbeddingLoss(margin) positive against the precomputed clean
+  d-vector plus negatives against the other enrollment speakers once
+  `current_epoch >= neg_loss_start_epoch`; monitor val/loss (min).
+
+A task is stateless: `loss_and_metrics(params, batch, epoch)` is a
+pure function the Trainer jits (and grads) over the data mesh. Batches
+arrive as array-only pytrees from `device_batch`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lookoncetohear_tpu import utils
+from lookoncetohear_tpu.losses import cosine_embedding_loss, si_snr, snr
+from lookoncetohear_tpu.metrics.improvement import metric_improvement
+
+
+class Task:
+    monitor: str
+    monitor_mode: str
+
+    def init_params(self, rng: jax.Array, batch) -> Any:
+        raise NotImplementedError
+
+    def device_batch(self, batch):
+        raise NotImplementedError
+
+    def loss_and_metrics(self, params, batch, epoch) -> tuple:
+        raise NotImplementedError
+
+
+class TSETask(Task):
+    """Target-speech-extraction task."""
+
+    def __init__(self, model: str, model_params: dict, lr: float,
+                 init_ckpt: str | None = None, dir_loss: bool = False,
+                 embed_model: str | None = None,
+                 embed_model_params: dict | None = None,
+                 scheduler: str | None = None,
+                 scheduler_params: dict | None = None) -> None:
+        self.model = utils.import_attr(model)(**model_params)
+        self.embed_model = None
+        if embed_model is not None:
+            self.embed_model = utils.import_attr(embed_model)(
+                **embed_model_params)
+        self.lr = lr
+        self.dir_loss = dir_loss
+        self.init_ckpt = init_ckpt
+        self.scheduler = scheduler
+        self.scheduler_params = scheduler_params or {}
+        self.monitor = "val/si_snr_i"
+        self.monitor_mode = "max"
+
+    def device_batch(self, batch):
+        inputs, targets = batch
+        return {
+            "mixture": inputs["mixture"],
+            "target": targets["target"],
+            "embedding_gt": targets["embedding_gt"],
+        }
+
+    def init_params(self, rng, batch):
+        b = self.device_batch(batch)
+        variables = self.model.init(
+            rng, jnp.asarray(b["mixture"][:1]),
+            jnp.asarray(b["embedding_gt"][:1]))
+        return variables["params"]
+
+    def forward(self, params, mixture, embedding):
+        return self.model.apply({"params": params}, mixture, embedding)
+
+    def loss_and_metrics(self, params, batch, epoch):
+        out = self.forward(params, batch["mixture"],
+                           batch["embedding_gt"])
+        target = batch["target"]
+        loss = -jnp.mean(snr(out, target))
+        mix = batch["mixture"][:, jnp.array([0, -1])]
+        metrics = {
+            "loss": loss,
+            "snr_i": jnp.mean(metric_improvement(snr, mix, out, target)),
+            "si_snr_i": jnp.mean(
+                metric_improvement(si_snr, mix, out, target)),
+        }
+        return loss, metrics
+
+
+class EmbedTask(Task):
+    """Binaural-enrollment embedding task."""
+
+    def __init__(self, model: str, model_params: dict, lr: float,
+                 scheduler: str | None = None,
+                 scheduler_params: dict | None = None,
+                 margin: float = 0.5, neg_loss_start_epoch: int = 10,
+                 init_ckpt: str | None = None) -> None:
+        self.model = utils.import_attr(model)(**model_params)
+        self.lr = lr
+        self.margin = margin
+        self.neg_loss_start_epoch = neg_loss_start_epoch
+        self.init_ckpt = init_ckpt
+        self.scheduler = scheduler
+        self.scheduler_params = scheduler_params or {}
+        self.monitor = "val/loss"
+        self.monitor_mode = "min"
+
+    def device_batch(self, batch):
+        inputs, targets = batch
+        neg = targets.get("embedding_neg", [])
+        if isinstance(neg, (list, tuple)):
+            neg = jnp.stack([jnp.asarray(x) for x in neg]) if neg \
+                else jnp.zeros((0,) + np.asarray(
+                    targets["embedding_gt"]).shape)
+        return {
+            "enrollments": inputs["enrollments"],
+            "embedding_gt": targets["embedding_gt"],
+            "embedding_neg": neg,  # [K, B, 1, E]
+        }
+
+    def init_params(self, rng, batch):
+        b = self.device_batch(batch)
+        x = jnp.asarray(b["enrollments"][:1, 0])
+        return self.model.init(rng, x)["params"]
+
+    def forward(self, params, enrollments):
+        """enrollments: [B, 1, C, T] -> [B, E]."""
+        return self.model.apply({"params": params}, enrollments[:, 0])
+
+    def loss_and_metrics(self, params, batch, epoch):
+        emb = self.forward(params, batch["enrollments"])
+        emb_gt = batch["embedding_gt"][:, 0]
+        ones = jnp.ones(emb.shape[0])
+        pos = cosine_embedding_loss(emb, emb_gt, ones, self.margin)
+        neg = jnp.asarray(0.0)
+        if batch["embedding_neg"].shape[0]:
+            def one_neg(neg_k):
+                return cosine_embedding_loss(emb, neg_k[:, 0], -ones,
+                                             self.margin)
+            neg = jnp.sum(jax.vmap(one_neg)(batch["embedding_neg"]))
+        use_neg = (jnp.asarray(epoch) >= self.neg_loss_start_epoch)
+        loss = pos + jnp.where(use_neg, neg, 0.0)
+        return loss, {"loss": loss, "pos_loss": pos}
+
+
+class EmbeddingTableLogger:
+    """The reference's wandb embedding-table callback (reference
+    ts_hear_embed_pl_module.py:148-160) as a CSV dump: every val epoch,
+    write (speaker_id, e0..eN) rows to run_dir/embeddings/."""
+
+    def __init__(self) -> None:
+        self.samples: list = []
+
+    def add(self, spk_ids, embeddings) -> None:
+        for s, e in zip(np.asarray(spk_ids).reshape(-1),
+                        np.asarray(embeddings)):
+            self.samples.append((int(s), np.asarray(e)))
+
+    def flush(self, run_dir: str, epoch: int, key: str = "val") -> None:
+        import csv
+        import os
+        if not self.samples:
+            return
+        d = os.path.join(run_dir, "embeddings")
+        os.makedirs(d, exist_ok=True)
+        n = self.samples[0][1].shape[-1]
+        with open(os.path.join(d, f"{key}_epoch{epoch}.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["speaker_id"] + [f"embed_{i}" for i in range(n)])
+            for s, e in self.samples:
+                w.writerow([s] + e.tolist())
+        self.samples.clear()

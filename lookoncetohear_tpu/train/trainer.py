@@ -1,0 +1,276 @@
+"""The training loop (reference src/trainer.py rebuilt TPU-native).
+
+Single-controller JAX: one process drives the whole ("data", "model")
+mesh. The jitted train step computes grad(loss) with params replicated
+and the batch sharded over "data"; XLA's partitioner inserts the
+gradient all-reduce over ICI (the NCCL-DDP equivalent, SURVEY §2.8).
+LR plateau scheduling mutates the optax `inject_hyperparams` state so
+no recompilation happens on LR drops. Checkpoints are orbax, last +
+top-5 on the task monitor (reference src/trainer.py:32-38).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lookoncetohear_tpu import utils
+from lookoncetohear_tpu.data.loader import DataLoader, prefetch_to_device
+from lookoncetohear_tpu.parallel.mesh import (batch_sharding, data_mesh,
+                                              replicated_sharding)
+from lookoncetohear_tpu.train.checkpoint import CheckpointManager, restore
+from lookoncetohear_tpu.train.schedule import ReduceLROnPlateau
+
+
+class MetricsLogger:
+    """JSONL metrics log + stdout (the wandb surface, file-backed)."""
+
+    def __init__(self, run_dir: str) -> None:
+        os.makedirs(run_dir, exist_ok=True)
+        self.path = os.path.join(run_dir, "metrics.jsonl")
+
+    def log(self, record: dict) -> None:
+        record = {k: (float(v) if isinstance(v, (int, float, np.floating,
+                                                 jnp.ndarray, jax.Array))
+                      else v) for k, v in record.items()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        logging.info("%s", record)
+
+
+class Trainer:
+    def __init__(self, task, run_dir: str, epochs: int = 100,
+                 mesh=None, grad_clip: float | None = None,
+                 limit_batches: float = 1.0, seed: int = 42) -> None:
+        self.task = task
+        self.run_dir = run_dir
+        self.epochs = epochs
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.grad_clip = grad_clip
+        self.limit_batches = limit_batches
+        self.seed = seed
+        os.makedirs(run_dir, exist_ok=True)
+        self.logger = MetricsLogger(run_dir)
+        self.ckpts = CheckpointManager(
+            run_dir, task.monitor, task.monitor_mode, top_k=5)
+        self.scheduler = None
+        if getattr(task, "scheduler", None) is not None:
+            sched_cls = utils.import_attr(task.scheduler)
+            self.scheduler = sched_cls(lr=task.lr, **task.scheduler_params)
+
+        txs = []
+        if grad_clip:
+            txs.append(optax.clip_by_global_norm(grad_clip))
+        txs.append(optax.inject_hyperparams(optax.adam)(
+            learning_rate=task.lr))
+        self.tx = optax.chain(*txs) if len(txs) > 1 else txs[0]
+        self._train_step = None
+        self._eval_step = None
+
+    # -- jitted steps ----------------------------------------------------
+
+    def _build_steps(self):
+        task, tx = self.task, self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, epoch):
+            (loss, metrics), grads = jax.value_and_grad(
+                task.loss_and_metrics, has_aux=True)(params, batch, epoch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        @jax.jit
+        def eval_step(params, batch, epoch):
+            _, metrics = task.loss_and_metrics(params, batch, epoch)
+            return metrics
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def _set_lr(self, opt_state, lr: float):
+        """Write the plateau scheduler's LR into the optax state.
+        Mutates the InjectHyperparamsState's hyperparams dict in place
+        so the (NamedTuple) pytree structure is preserved."""
+        def rec(st):
+            hp = getattr(st, "hyperparams", None)
+            if isinstance(hp, dict) and "learning_rate" in hp:
+                hp["learning_rate"] = jnp.asarray(
+                    lr, dtype=hp["learning_rate"].dtype)
+            elif isinstance(st, tuple):
+                for s in st:
+                    rec(s)
+        rec(opt_state)
+        return opt_state
+
+    # -- data placement ---------------------------------------------------
+
+    def _device_batches(self, dl, epoch: int):
+        limit = self.limit_batches
+        n = len(dl)
+        max_batches = n if limit >= 1.0 else max(1, int(n * limit))
+        if isinstance(limit, int) and limit > 1:
+            max_batches = min(n, limit)
+        sh = batch_sharding(self.mesh)
+
+        def gen():
+            for i, batch in enumerate(dl):
+                if i >= max_batches:
+                    break
+                yield self.task.device_batch(batch)
+        return prefetch_to_device(gen(), size=2, sharding=sh)
+
+    def _init_state(self, train_dl):
+        batch0 = next(iter(train_dl))
+        rng = jax.random.PRNGKey(self.seed)
+        params = self.task.init_params(rng, batch0)
+        if getattr(self.task, "init_ckpt", None):
+            ck = restore(self.task.init_ckpt)
+            params = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b), params, ck["params"])
+        repl = replicated_sharding(self.mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(self.tx.init(params), repl)
+        return params, opt_state
+
+    # -- main loops -------------------------------------------------------
+
+    def _run_eval(self, params, dl, epoch: int, split: str = "val"):
+        sums: dict = {}
+        count = 0
+        for batch in self._device_batches(dl, epoch):
+            metrics = self._eval_step(params, batch, jnp.asarray(epoch))
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {f"{split}/{k}": v / max(count, 1)
+                for k, v in sums.items()}
+
+    def fit(self, train_dl: DataLoader, val_dl: DataLoader,
+            resume: bool = False, ckpt_path: str | None = None) -> None:
+        if self._train_step is None:
+            self._build_steps()
+        params, opt_state = self._init_state(train_dl)
+        start_epoch, step = 0, 0
+
+        if ckpt_path is None and resume and self.ckpts.has_last():
+            ckpt_path = self.ckpts.last_path
+        if ckpt_path:
+            like = {"params": params, "opt_state": opt_state,
+                    "epoch": 0, "step": 0,
+                    "sched": (self.scheduler.state_dict()
+                              if self.scheduler else {})}
+            ck = restore(ckpt_path, like=like)
+            repl = replicated_sharding(self.mesh)
+            params = jax.device_put(ck["params"], repl)
+            opt_state = jax.device_put(ck["opt_state"], repl)
+            start_epoch = int(ck["epoch"]) + 1
+            step = int(ck["step"])
+            if self.scheduler and ck.get("sched"):
+                self.scheduler.load_state_dict(
+                    jax.tree_util.tree_map(
+                        lambda x: x.item() if hasattr(x, "item") else x,
+                        ck["sched"]))
+            logging.info("resumed from %s at epoch %d", ckpt_path,
+                         start_epoch)
+
+        for epoch in range(start_epoch, self.epochs):
+            train_dl.set_epoch(epoch)
+            t0 = time.time()
+            sums: dict = {}
+            n_batches = 0
+            ep = jnp.asarray(epoch)
+            for batch in self._device_batches(train_dl, epoch):
+                params, opt_state, metrics = self._train_step(
+                    params, opt_state, batch, ep)
+                n_batches += 1
+                step += 1
+                metrics = jax.device_get(metrics)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            record = {f"train/{k}": v / max(n_batches, 1)
+                      for k, v in sums.items()}
+            record.update(self._run_eval(params, val_dl, epoch, "val"))
+            record.update(epoch=epoch, step=step,
+                          lr=(self.scheduler.lr if self.scheduler
+                              else self.task.lr),
+                          epoch_time_s=round(time.time() - t0, 2))
+            self.logger.log(record)
+
+            if self.scheduler is not None and "val/loss" in record:
+                new_lr = self.scheduler.step(record["val/loss"])
+                opt_state = self._set_lr(opt_state, new_lr)
+
+            state = {"params": params, "opt_state": opt_state,
+                     "epoch": epoch, "step": step,
+                     "sched": (self.scheduler.state_dict()
+                               if self.scheduler else {})}
+            self.ckpts.save_last(state, epoch, step)
+            mon = record.get(self.task.monitor)
+            if mon is not None:
+                self.ckpts.save_best(state, mon, epoch, step)
+
+        self._final_params = params
+
+    def test(self, test_dl: DataLoader,
+             ckpt_path: str | None = None) -> dict:
+        if self._eval_step is None:
+            self._build_steps()
+        batch0 = next(iter(test_dl))
+        rng = jax.random.PRNGKey(self.seed)
+        params = self.task.init_params(rng, batch0)
+        if ckpt_path is None:
+            ckpt_path = self.ckpts.best_checkpoint() or (
+                self.ckpts.last_path if self.ckpts.has_last() else None)
+        if ckpt_path:
+            # no template: flax params are plain nested dicts, so an
+            # untyped restore round-trips exactly; other keys ignored.
+            params = restore(ckpt_path)["params"]
+            logging.info("testing with %s", ckpt_path)
+        params = jax.device_put(params, replicated_sharding(self.mesh))
+        record = self._run_eval(params, test_dl, epoch=0, split="test")
+        self.logger.log(record)
+        return record
+
+
+def main(args, hparams) -> None:
+    """reference src/trainer.py:13-105 control flow."""
+    random.seed(42)
+    np.random.seed(42)
+
+    task = utils.import_attr(hparams.pl_module)(**hparams.pl_module_args)
+
+    mesh = data_mesh()
+    trainer = Trainer(
+        task, args.run_dir, epochs=hparams.epochs, mesh=mesh,
+        grad_clip=getattr(hparams, "grad_clip", None),
+        limit_batches=args.frac)
+
+    num_workers = min(getattr(hparams, "num_workers", 4), os.cpu_count())
+
+    def make_dl(which, batch_size, shuffle):
+        ds_cls = utils.import_attr(getattr(hparams, f"{which}_dataset"))
+        ds = ds_cls(**getattr(hparams, f"{which}_data_args"))
+        return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
+                          seed=42, num_workers=num_workers)
+
+    if args.test:
+        test_dl = make_dl("test", hparams.eval_batch_size, False)
+        trainer.test(test_dl, ckpt_path=args.ckpt)
+        return
+
+    train_dl = make_dl("train", hparams.batch_size, True)
+    val_dl = make_dl("val", hparams.eval_batch_size, False)
+    trainer.fit(train_dl, val_dl, resume=args.resume,
+                ckpt_path=args.ckpt)

@@ -1,0 +1,39 @@
+"""CLI entry point: `python -m lookoncetohear_tpu.trainer --config
+configs/tsh.json --run_dir runs/tsh [--test|--resume|--ckpt|--frac]` —
+flag-compatible with reference src/trainer.py:107-132."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from lookoncetohear_tpu import utils
+from lookoncetohear_tpu.train.trainer import main
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, required=True,
+                   help="experiment config JSON")
+    p.add_argument("--run_dir", type=str, required=True)
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--frac", type=float, default=1.0,
+                   help="fraction of batches per epoch (smoke runs)")
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args()
+    # run-dir collision guard (reference src/trainer.py:122-126)
+    last = os.path.join(args.run_dir, "last.ckpt")
+    if os.path.exists(last) and not (args.resume or args.test
+                                     or args.ckpt):
+        raise AssertionError(
+            f"{args.run_dir} already has a checkpoint; pass --resume to "
+            "continue training or choose a new run_dir")
+    hparams = utils.Params(args.config)
+    main(args, hparams)

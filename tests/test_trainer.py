@@ -1,0 +1,133 @@
+"""End-to-end training harness tests on the 8-device CPU mesh:
+TSE + embedding tasks fit synthetic fixtures, checkpoints round-trip,
+resume continues, plateau scheduler drops LR."""
+
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from lookoncetohear_tpu.data.loader import DataLoader
+from lookoncetohear_tpu.data.synthetic import SyntheticTSEDataset
+from lookoncetohear_tpu.parallel.mesh import data_mesh
+from lookoncetohear_tpu.train.schedule import ReduceLROnPlateau
+from lookoncetohear_tpu.train.tasks import EmbedTask, TSETask
+from lookoncetohear_tpu.train.trainer import Trainer
+
+TINY_TSE = dict(
+    model="lookoncetohear_tpu.models.net.Net",
+    model_params=dict(embed_dim=64, stft_chunk_size=128, stft_pad_size=64,
+                      num_ch=2, D=16, L=2, I=1, J=1, B=2, H=16,
+                      local_atten_len=10, use_attn=True, lookahead=True,
+                      chunk_causal=True),
+    lr=1e-3,
+    scheduler="lookoncetohear_tpu.train.schedule.ReduceLROnPlateau",
+    scheduler_params=dict(mode="min", patience=5, factor=0.5,
+                          min_lr=1e-6),
+)
+
+TINY_EMBED = dict(
+    model="lookoncetohear_tpu.models.net.EmbedNet",
+    model_params=dict(embed_dim=64, num_ch=2, n_fft=64, stride=32,
+                      num_blocks=1),
+    lr=1e-3, margin=0.5, neg_loss_start_epoch=1,
+    scheduler="lookoncetohear_tpu.train.schedule.ReduceLROnPlateau",
+    scheduler_params=dict(mode="min", patience=5, factor=0.5,
+                          min_lr=1e-6),
+)
+
+
+def _dls(n=8, duration=0.5, embed_dim=64):
+    ds = SyntheticTSEDataset(dset="train", n_samples=n, duration=duration,
+                             embed_dim=embed_dim, n_speakers=4)
+    vs = SyntheticTSEDataset(dset="val", n_samples=n, duration=duration,
+                             embed_dim=embed_dim, n_speakers=4)
+    return (DataLoader(ds, batch_size=8, shuffle=True, seed=0),
+            DataLoader(vs, batch_size=8))
+
+
+class TestPlateauScheduler:
+    def test_matches_torch_behavior(self):
+        s = ReduceLROnPlateau(lr=1.0, mode="min", patience=2, factor=0.5,
+                              min_lr=0.05)
+        lrs = [s.step(m) for m in
+               [1.0, 0.9, 0.9, 0.9, 0.9, 0.8, 0.8, 0.8, 0.8]]
+        # improves at 0(first),1; stalls 2,3,(4: >patience -> drop)
+        assert lrs[:4] == [1.0, 1.0, 1.0, 1.0]
+        assert lrs[4] == 0.5
+        # 5 improves; 6,7 stall, 8 drops again
+        assert lrs[5:8] == [0.5, 0.5, 0.5]
+        assert lrs[8] == 0.25
+
+    def test_min_lr_floor(self):
+        s = ReduceLROnPlateau(lr=0.1, patience=0, factor=0.1, min_lr=0.05)
+        s.step(1.0)
+        assert s.step(2.0) == 0.05
+        assert s.step(3.0) == 0.05
+
+
+@pytest.mark.slow
+class TestTSETraining:
+    def test_fit_reduces_loss_and_checkpoints(self, tmp_path):
+        run_dir = str(tmp_path / "run")
+        task = TSETask(**TINY_TSE)
+        train_dl, val_dl = _dls()
+        tr = Trainer(task, run_dir, epochs=3, mesh=data_mesh())
+        tr.fit(train_dl, val_dl)
+
+        lines = [json.loads(x) for x in
+                 open(os.path.join(run_dir, "metrics.jsonl"))]
+        assert len(lines) == 3
+        assert lines[-1]["train/loss"] < lines[0]["train/loss"]
+        assert os.path.isdir(os.path.join(run_dir, "last.ckpt"))
+        assert glob.glob(os.path.join(run_dir, "best", "*.ckpt"))
+        assert os.path.exists(os.path.join(run_dir, "best.ckpt"))
+
+    def test_resume_continues(self, tmp_path):
+        run_dir = str(tmp_path / "run")
+        train_dl, val_dl = _dls()
+        tr = Trainer(TSETask(**TINY_TSE), run_dir, epochs=2)
+        tr.fit(train_dl, val_dl)
+        tr2 = Trainer(TSETask(**TINY_TSE), run_dir, epochs=4)
+        tr2.fit(train_dl, val_dl, resume=True)
+        lines = [json.loads(x) for x in
+                 open(os.path.join(run_dir, "metrics.jsonl"))]
+        assert [l["epoch"] for l in lines] == [0, 1, 2, 3]
+
+    def test_test_loop_uses_best_ckpt(self, tmp_path):
+        run_dir = str(tmp_path / "run")
+        train_dl, val_dl = _dls()
+        tr = Trainer(TSETask(**TINY_TSE), run_dir, epochs=1)
+        tr.fit(train_dl, val_dl)
+        rec = tr.test(val_dl)
+        assert "test/si_snr_i" in rec and np.isfinite(rec["test/loss"])
+
+
+@pytest.mark.slow
+class TestEmbedTraining:
+    def test_fit_reduces_loss(self, tmp_path):
+        run_dir = str(tmp_path / "run")
+        task = EmbedTask(**TINY_EMBED)
+        train_dl, val_dl = _dls(duration=0.25)
+        tr = Trainer(task, run_dir, epochs=3)
+        tr.fit(train_dl, val_dl)
+        lines = [json.loads(x) for x in
+                 open(os.path.join(run_dir, "metrics.jsonl"))]
+        assert lines[-1]["train/loss"] < lines[0]["train/loss"]
+        # neg loss kicks in at epoch 1: loss = pos + neg afterwards
+        assert "val/pos_loss" in lines[0]
+
+
+class TestMesh:
+    def test_data_mesh_uses_all_devices(self):
+        mesh = data_mesh()
+        assert mesh.shape["data"] == jax.device_count()
+        assert mesh.shape["model"] == 1
+
+    def test_model_axis(self):
+        mesh = data_mesh(n_model=2)
+        assert mesh.shape["model"] == 2
+        assert mesh.shape["data"] == jax.device_count() // 2
