@@ -1,0 +1,93 @@
+"""ts_hear_test eval harness: 2-stage pipeline over synthetic
+fixtures, CSV schema, trim-duration helper."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lookoncetohear_tpu.ts_hear_test import _trim_duration, run
+
+TINY_TSE_CFG = {
+    "pl_module": "lookoncetohear_tpu.train.tasks.TSETask",
+    "pl_module_args": {
+        "model": "lookoncetohear_tpu.models.net.Net",
+        "model_params": {
+            "embed_dim": 64, "stft_chunk_size": 128, "stft_pad_size": 64,
+            "num_ch": 2, "D": 16, "L": 2, "I": 1, "J": 1, "B": 2,
+            "H": 16, "local_atten_len": 10, "use_attn": True,
+            "lookahead": True, "chunk_causal": True},
+        "lr": 1e-3},
+    "val_dataset": "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
+    "val_data_args": {"dset": "val", "n_samples": 8, "n_speakers": 4,
+                      "duration": 0.5, "embed_dim": 64},
+    "test_dataset": "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
+    "test_data_args": {"dset": "test", "n_samples": 8, "n_speakers": 4,
+                       "duration": 0.5, "embed_dim": 64},
+}
+
+TINY_EMBED_CFG = {
+    "pl_module": "lookoncetohear_tpu.train.tasks.EmbedTask",
+    "pl_module_args": {
+        "model": "lookoncetohear_tpu.models.net.EmbedNet",
+        "model_params": {"embed_dim": 64, "num_ch": 2, "n_fft": 64,
+                         "stride": 32, "num_blocks": 1},
+        "lr": 1e-3},
+}
+
+
+class TestTrimDuration:
+    def test_full_signal(self):
+        x = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+        assert _trim_duration(x, 16000) == pytest.approx(1.0, abs=0.15)
+
+    def test_trims_silence(self):
+        x = np.zeros(32000)
+        x[8000:16000] = np.sin(
+            2 * np.pi * 440 * np.arange(8000) / 16000)
+        d = _trim_duration(x, 16000)
+        assert 0.4 < d < 0.75
+
+
+@pytest.mark.slow
+class TestRun:
+    def _write(self, tmp_path, cfg, name):
+        p = str(tmp_path / name)
+        with open(p, "w") as f:
+            json.dump(cfg, f)
+        return p
+
+    def test_two_stage_eval_writes_csv(self, tmp_path):
+        cfg_path = self._write(tmp_path, TINY_TSE_CFG, "tsh.json")
+        ecfg_path = self._write(tmp_path, TINY_EMBED_CFG, "embed.json")
+        run_dir = str(tmp_path / "run")
+        enroll_dir = str(tmp_path / "erun")
+        os.makedirs(run_dir), os.makedirs(enroll_dir)
+        args = argparse.Namespace(
+            config=cfg_path, run_dir=run_dir, enroll_config=ecfg_path,
+            enroll_run_dir=enroll_dir, dset="test", sample=False,
+            num_workers=0)
+        df = run(args)
+        out = os.path.join(run_dir, "results_test_erun.csv")
+        assert os.path.exists(out)
+        for col in ["si_snr_i", "output_sisnr", "embedding_sim",
+                    "input_sisnr", "enroll_duration", "s1", "e1"]:
+            assert col in df.columns, col
+        assert np.isfinite(df["si_snr_i"]).all()
+        assert len(df) == 8
+
+    def test_gt_embedding_mode(self, tmp_path):
+        """No enrollment net -> uses embedding_gt (enroll cfg 'clean')."""
+        cfg_path = self._write(tmp_path, TINY_TSE_CFG, "tsh.json")
+        run_dir = str(tmp_path / "run")
+        os.makedirs(run_dir)
+        args = argparse.Namespace(
+            config=cfg_path, run_dir=run_dir, enroll_config=None,
+            enroll_run_dir=None, dset="val", sample=False, num_workers=0)
+        df = run(args)
+        assert os.path.exists(
+            os.path.join(run_dir, "results_val_clean.csv"))
+        # gt embedding => cosine similarity exactly 1
+        np.testing.assert_allclose(df["embedding_sim"], 1.0, atol=1e-5)
