@@ -40,6 +40,23 @@ _COMPAT_REGISTRY = {
         "lookoncetohear_tpu.data.datasets.MixLibriSpeechNoisyEnroll",
     "src.datasets.MixLibriSpeechNoisyEnroll.MixLibriSpeechNoisyEnroll":
         "lookoncetohear_tpu.data.datasets.MixLibriSpeechNoisyEnroll",
+    "src.datasets.MixLibriSpeechNoisyEnrollWP.MixLibriSpeechNoisyEnroll":
+        "lookoncetohear_tpu.data.dataset_variants."
+        "MixLibriSpeechNoisyEnrollWP",
+    "src.datasets.MixLibriSpeechNoisyEnrollDirectional."
+    "MixLibriSpeechNoisyEnroll":
+        "lookoncetohear_tpu.data.dataset_variants."
+        "MixLibriSpeechNoisyEnrollDirectional",
+    "src.datasets.MixLibriSpeech.MixLibriSpeechCIPICDataset":
+        "lookoncetohear_tpu.data.dataset_variants.MixLibriSpeechCIPIC",
+    "src.datasets.MixLibriSpeechDM.MixLibriSpeechDM":
+        "lookoncetohear_tpu.data.dataset_variants.MixLibriSpeechDM",
+    "src.datasets.MixLibriSpeechMotion.MixLibriSpeechMotionDataset":
+        "lookoncetohear_tpu.data.dataset_variants.MixLibriSpeechMotion",
+    "src.datasets.SpeechSeparationDataset.SpeechSeparationDataset":
+        "lookoncetohear_tpu.data.dataset_variants.SpeechSeparationDataset",
+    "src.datasets.OracleMixLibriSpeech.OracleMixLibriSpeechDataset":
+        "lookoncetohear_tpu.data.dataset_variants.OracleMixLibriSpeech",
     # Synthetic fixtures (this framework's own addition)
     "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset":
         "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
