@@ -55,6 +55,11 @@ class Net(nn.Module):
     local_atten_len: int = 100
     chunk_causal: bool = False
     num_src: int = 2
+    # optional direction-of-arrival auxiliary head (the reference's
+    # dir_loss task option, src/ts_hear_embed_pl_module.py:29-31,71-87,
+    # whose model half is absent from the reference's committed code)
+    dir_head: bool = False
+    n_dir_bins: int = 33
 
     @property
     def nfft(self) -> int:
@@ -77,15 +82,31 @@ class Net(nn.Module):
             local_atten_len=self.local_atten_len,
             use_attn=self.use_attn,
         )
+        if self.dir_head:
+            from lookoncetohear_tpu.models.streaming_tfgridnet import \
+                TorchDense
+            self.dir_proj = TorchDense(self.n_dir_bins)
 
-    def init_state(self, batch_size: int, dtype=jnp.float32):
+    def _shifts_to_indices(self, shifts):
+        """Map L/R cross-correlation shifts (±max_shift samples, the
+        dataset's tgt_shift) to DoA bin indices in [0, n_dir_bins).
+        Linear in shift (ITD) — our re-specification of the head the
+        reference's dir_loss option expects but never committed."""
+        max_shift = 16
+        s = jnp.clip(shifts, -max_shift, max_shift)
+        idx = jnp.round((s + max_shift) * (self.n_dir_bins - 1)
+                        / (2 * max_shift))
+        return idx.astype(jnp.int32)
+
+    def init_state(self, batch_size: int, dtype=jnp.float32,
+                   kv_dtype=None):
         return init_stream_state(
             batch_size, n_srcs=self.num_src, n_fft=self.nfft,
             n_imics=self.num_ch, n_layers=self.B,
             lstm_hidden_units=self.H, attn_n_head=self.L,
             attn_approx_qk_dim=512, emb_dim=self.D,
             local_atten_len=self.local_atten_len,
-            use_attn=self.use_attn, dtype=dtype)
+            use_attn=self.use_attn, dtype=dtype, kv_dtype=kv_dtype)
 
     def predict(self, x, embed, state, pad: bool = True):
         """x: [B, M, N']; embed: [B, E]. Returns (y [B, S, N'], state).
@@ -106,12 +127,27 @@ class Net(nn.Module):
             y = y[..., :n_in]
         return y, next_state
 
-    def __call__(self, x, embeds, state=None, pad: bool = True):
+    def __call__(self, x, embeds, state=None, pad: bool = True,
+                 dir: bool = False):
         """x: [B, M, N]; embeds: [B, n_enroll, E] (first enrollment is
-        used, reference net.py:68-76). Returns separated [B, S, N]."""
+        used, reference net.py:68-76). Returns separated [B, S, N],
+        plus per-frame DoA logits [B, T, n_dir_bins] when dir=True."""
         embeds = embeds[:, 0]
         if state is None:
             state = self.init_state(x.shape[0], x.dtype)
+        if dir:
+            assert self.dir_head, "construct Net with dir_head=True"
+            n_in = x.shape[-1]
+            pad_size = (0, self.stft_pad_size) if self.lookahead \
+                else (0, 0)
+            xp, _ = mod_pad(x, chunk_size=self.stft_chunk_size,
+                            pad=pad_size)
+            y, _, feats = self.tfgridnet(xp, embeds, state,
+                                         return_features=True)
+            y = y[..., :n_in]
+            # [B, D, T, F] -> per-frame logits via freq-mean + Dense
+            h = jnp.mean(feats, axis=3).transpose(0, 2, 1)  # [B, T, D]
+            return y, self.dir_proj(h)
         y, _ = self.predict(x, embeds, state, pad)
         return y
 

@@ -117,16 +117,21 @@ class GridNetBlockStreaming(nn.Module):
             self.attn_v = AttnProjection(vd * nh, f * vd)
             self.attn_proj = AttnProjection(c, f * c)
 
-    def init_state(self, batch_size: int, dtype=jnp.float32) -> Dict[str, Any]:
+    def init_state(self, batch_size: int, dtype=jnp.float32,
+                   kv_dtype=None) -> Dict[str, Any]:
         f, h, w = self.n_freqs, self.hidden, self.local_atten_len
         nh, e, vd = self.n_head, self.e_dim, self.v_dim
+        kv_dtype = dtype if kv_dtype is None else kv_dtype
         state = {
             "h": jnp.zeros((batch_size, f, h), dtype),
             "c": jnp.zeros((batch_size, f, h), dtype),
         }
         if self.use_attn:
-            state["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e), dtype)
-            state["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd), dtype)
+            state["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e),
+                                       kv_dtype)
+            state["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd),
+                                       kv_dtype)
+            state["pos"] = jnp.zeros((), jnp.int32)
         return state
 
     def _heads(self, proj: AttnProjection, x, dim):
@@ -145,10 +150,13 @@ class GridNetBlockStreaming(nn.Module):
         nh = self.n_head
 
         # --- intra-frequency bidirectional RNN -------------------------
+        # t == 1 is the streaming step: opt into the fused Pallas scan
+        # (inference-only); full utterances keep the lax.scan path for
+        # autodiff.
         inp = x.transpose(0, 2, 3, 1)  # [B, T, F, C]
         y = self.intra_norm(inp)
         y = y.reshape(b * t, f, c)
-        y, _ = self.intra_rnn(y)  # [B*T, F, 2H]
+        y, _ = self.intra_rnn(y, fused=(t == 1))  # [B*T, F, 2H]
         y = self.intra_linear(y)
         y = y.reshape(b, t, f, c) + inp
 
@@ -181,12 +189,22 @@ class GridNetBlockStreaming(nn.Module):
         v_buf = state["v_buf"].reshape(b * nh, w - 1, f * vd)
 
         if t == 1:
-            out, nk, nvb = att_ops.local_attention_step(
-                qf[:, 0], kf[:, 0], vf[:, 0], k_buf, v_buf)
+            # streaming: ring-buffer update (1-slot write; attention
+            # over an unordered window is permutation-invariant)
+            out, nk, nvb, new_state["pos"] = \
+                att_ops.local_attention_step_ring(
+                    qf[:, 0], kf[:, 0], vf[:, 0], k_buf, v_buf,
+                    state["pos"])
             out = out[:, None]
         else:
             out, nk, nvb = att_ops.local_attention(
-                qf, kf, vf, w, k_buf, v_buf)
+                qf, kf, vf, w, k_buf.astype(qf.dtype),
+                v_buf.astype(vf.dtype))
+            nk = nk.astype(state["k_buf"].dtype)
+            nvb = nvb.astype(state["v_buf"].dtype)
+            # full pass leaves a time-ordered buffer; cursor 0 points
+            # at the oldest slot, so subsequent ring steps stay correct
+            new_state["pos"] = jnp.zeros((), jnp.int32)
         new_state["k_buf"] = nk.reshape(b, nh, w - 1, f * e)
         new_state["v_buf"] = nvb.reshape(b, nh, w - 1, f * vd)
 
@@ -208,14 +226,16 @@ def init_stream_state(batch_size: int, *, n_srcs: int, n_fft: int,
                       attn_n_head: int, attn_approx_qk_dim: int,
                       emb_dim: int, local_atten_len: int, use_attn: bool,
                       t_ksize: int = 3, istft_lookback: int = 1,
-                      dtype=jnp.float32) -> Dict[str, Any]:
+                      dtype=jnp.float32, kv_dtype=None) -> Dict[str, Any]:
     """Zero streaming-state pytree for the separator — a pure function
     of the config, callable anywhere (reference init_buffers,
-    tfgridnet_causal.py:173-186)."""
+    tfgridnet_causal.py:173-186). kv_dtype optionally stores the K/V
+    ring buffers (the bulk of the state) at lower precision."""
     f = n_fft // 2 + 1
     h, w, nh = lstm_hidden_units, local_atten_len, attn_n_head
     e = int(np.ceil(attn_approx_qk_dim / f))
     vd = emb_dim // nh if nh else emb_dim
+    kv_dtype = dtype if kv_dtype is None else kv_dtype
 
     def block_state():
         s = {
@@ -223,8 +243,11 @@ def init_stream_state(batch_size: int, *, n_srcs: int, n_fft: int,
             "c": jnp.zeros((batch_size, f, h), dtype),
         }
         if use_attn:
-            s["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e), dtype)
-            s["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd), dtype)
+            s["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e),
+                                   kv_dtype)
+            s["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd),
+                                   kv_dtype)
+            s["pos"] = jnp.zeros((), jnp.int32)
         return s
 
     return {
@@ -296,7 +319,8 @@ class StreamingTFGridNet(nn.Module):
             padding=((0, 0), (1, 1)),
             kernel_init=deconv_init, bias_init=deconv_init)
 
-    def init_state(self, batch_size: int, dtype=jnp.float32) -> Dict[str, Any]:
+    def init_state(self, batch_size: int, dtype=jnp.float32,
+                   kv_dtype=None) -> Dict[str, Any]:
         """Zero streaming state (reference init_buffers,
         tfgridnet_causal.py:173-186)."""
         return init_stream_state(
@@ -307,9 +331,10 @@ class StreamingTFGridNet(nn.Module):
             attn_approx_qk_dim=self.attn_approx_qk_dim,
             emb_dim=self.emb_dim, local_atten_len=self.local_atten_len,
             use_attn=self.use_attn, t_ksize=self.t_ksize,
-            istft_lookback=self.istft_lookback, dtype=dtype)
+            istft_lookback=self.istft_lookback, dtype=dtype,
+            kv_dtype=kv_dtype)
 
-    def __call__(self, x, spk_embedding, state):
+    def __call__(self, x, spk_embedding, state, return_features=False):
         """Process audio through the separator.
 
         Args:
@@ -358,6 +383,7 @@ class StreamingTFGridNet(nn.Module):
         new_state["blocks"] = block_states
 
         # ---- causal deconv -------------------------------------------
+        features = h  # [B, D, T, F] pre-deconv features (aux heads)
         padded = jnp.concatenate([state["deconv_buf"], h], axis=2)
         new_state["deconv_buf"] = padded[:, :, -(self.t_ksize - 1):, :]
         y = self.deconv(padded.transpose(0, 2, 3, 1))  # [B,T,F,2*n_srcs]
@@ -377,4 +403,6 @@ class StreamingTFGridNet(nn.Module):
         # decode and trims outside (net.py:61); we trim to T*stride
         # here which matches after Net's outer trim.
         audio = audio[..., :t * self.stride]
+        if return_features:
+            return audio, new_state, features
         return audio, new_state

@@ -113,6 +113,48 @@ def local_attention_step(q_t: jnp.ndarray, k_t: jnp.ndarray,
     return out, k_all[:, 1:], v_all[:, 1:]
 
 
+def local_attention_step_ring(q_t: jnp.ndarray, k_t: jnp.ndarray,
+                              v_t: jnp.ndarray,
+                              k_buf: jnp.ndarray, v_buf: jnp.ndarray,
+                              pos: jnp.ndarray):
+    """Streaming step with a CIRCULAR ring buffer.
+
+    Numerically identical to `local_attention_step` (softmax attention
+    over an unordered window is permutation-invariant), but the buffer
+    update writes ONE slot via dynamic_update_slice instead of
+    rewriting all W-1 slots — the shift-concat update's full-buffer
+    write is the dominant HBM traffic of the serving step. `pos` is a
+    scalar int32 write cursor shared across the batch (resets zero the
+    buffer, so cursor phase is irrelevant per stream).
+
+    k_buf/v_buf may be stored in a lower precision (e.g. bfloat16);
+    scores/values are computed in the q/v compute dtype.
+    """
+    from lookoncetohear_tpu.ops.pallas_attention import (
+        attention_step_pallas, pallas_enabled)
+    cdt = q_t.dtype
+    if pallas_enabled() and k_buf.dtype == cdt:
+        out, _, _ = attention_step_pallas(q_t, k_t, v_t, k_buf, v_buf,
+                                          update_buffers=False)
+    else:
+        dk = q_t.shape[-1]
+        scale = 1.0 / np.sqrt(dk)
+        k_all = jnp.concatenate(
+            [k_buf.astype(cdt), k_t[:, None]], axis=1)
+        v_all = jnp.concatenate(
+            [v_buf.astype(cdt), v_t[:, None]], axis=1)
+        scores = jnp.einsum("bd,bwd->bw", q_t, k_all) * scale
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bw,bwd->bd", attn, v_all)
+    w = k_buf.shape[1]
+    new_k = jax.lax.dynamic_update_slice_in_dim(
+        k_buf, k_t[:, None].astype(k_buf.dtype), pos, axis=1)
+    new_v = jax.lax.dynamic_update_slice_in_dim(
+        v_buf, v_t[:, None].astype(v_buf.dtype), pos, axis=1)
+    new_pos = (pos + 1) % w
+    return out, new_k, new_v, new_pos
+
+
 def causal_banded_attention_full(q, k, v, window):
     """Full (offline) causal attention with band `window`, softmax over
     only the in-band *real* positions (mask semantics of reference

@@ -75,6 +75,54 @@ def lstm_apply(params: LSTMParams, x: jnp.ndarray,
                       reverse=reverse)
 
 
+def lstm_apply_bidir(fwd: LSTMParams, bwd: LSTMParams, x: jnp.ndarray,
+                     fused: bool = False):
+    """Bidirectional LSTM as ONE fused scan.
+
+    Instead of two T-step scans (forward + reverse), both directions
+    ride a single scan with a leading direction axis — the reverse
+    direction consumes the time-flipped input. Halves the number of
+    sequential loop iterations, which dominates latency for the short
+    per-frame frequency scans of the streaming step (T=F=97).
+
+    fused=True additionally runs the recurrence as one Pallas TPU
+    program (ops/pallas_lstm.py) — inference-only (no VJP); the
+    streaming step enables it, training keeps the lax.scan path.
+
+    x: [B, T, I] -> (y [B, T, 2H], ((hT_f, hT_b), (cT_f, cT_b))).
+    """
+    b, t, _ = x.shape
+    hidden = fwd.w_hh.shape[1]
+    xp_f = x @ fwd.w_ih.T + (fwd.b_ih + fwd.b_hh)
+    xp_b = x[:, ::-1] @ bwd.w_ih.T + (bwd.b_ih + bwd.b_hh)
+    w_hh = jnp.stack([fwd.w_hh.T, bwd.w_hh.T], axis=0)  # [2, H, 4H]
+    # [T, 2, B, 4H], direction 1 time-flipped
+    xp = jnp.stack([xp_f, xp_b], axis=0).transpose(2, 0, 1, 3)
+
+    from lookoncetohear_tpu.ops.pallas_lstm import (bilstm_scan_pallas,
+                                                    lstm_pallas_enabled)
+    if fused and lstm_pallas_enabled():
+        ys = bilstm_scan_pallas(xp, w_hh).astype(x.dtype)
+        h_t = ys[-1]  # [2, B, H]; cell state not exposed on this path
+        c_t = h_t
+    else:
+        def step(carry, xt):
+            h, c = carry  # [2, B, H]
+            gates = xt + jnp.einsum("dbh,dhg->dbg", h, w_hh)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        h0 = jnp.zeros((2, b, hidden), x.dtype)
+        (h_t, c_t), ys = jax.lax.scan(step, (h0, h0), xp)
+    # ys: [T, 2, B, H] -> forward as-is, backward time-flipped back
+    y = jnp.concatenate(
+        [ys[:, 0].swapaxes(0, 1), ys[:, 1].swapaxes(0, 1)[:, ::-1]],
+        axis=-1)
+    return y, ((h_t[0], h_t[1]), (c_t[0], c_t[1]))
+
+
 def lstm_step(params: LSTMParams, x_t: jnp.ndarray,
               h: jnp.ndarray, c: jnp.ndarray):
     """One LSTM timestep for streaming: x_t [B, I], h/c [B, H]."""
@@ -115,20 +163,20 @@ class LSTM(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, h0=None, c0=None, *, step: bool = False):
+    def __call__(self, x, h0=None, c0=None, *, step: bool = False,
+                 fused: bool = False):
         """x: [B, T, I] (or [B, I] when step=True).
 
         Returns (y, (hT, cT)); y is [B, T, H*dirs] ([B, H] for step).
+        `fused` opts the bidirectional path into the inference-only
+        Pallas scan kernel.
         """
         fwd = self._direction_params("_l0")
         if step:
             assert not self.bidirectional
             h, c = lstm_step(fwd, x, h0, c0)
             return h, (h, c)
-        y_f, (h_f, c_f) = lstm_apply(fwd, x, h0, c0)
         if not self.bidirectional:
-            return y_f, (h_f, c_f)
+            return lstm_apply(fwd, x, h0, c0)
         bwd = self._direction_params("_l0_reverse")
-        y_b, (h_b, c_b) = lstm_apply(bwd, x, reverse=True)
-        y = jnp.concatenate([y_f, y_b], axis=-1)
-        return y, ((h_f, h_b), (c_f, c_b))
+        return lstm_apply_bidir(fwd, bwd, x, fused=fused)

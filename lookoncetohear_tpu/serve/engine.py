@@ -1,0 +1,165 @@
+"""Multi-stream real-time serving engine.
+
+Production counterpart of the reference's per-chunk streaming loop
+(reference net.py:54-66 driven one chunk at a time): N concurrent
+binaural streams ride the leading batch dimension of ONE compiled
+step — the streaming state pytree is batch-major by construction
+(SURVEY §3.3), so concurrency is free parallelism on the MXU.
+
+The engine owns:
+  * the per-stream speaker embeddings,
+  * the model's streaming state (conv/deconv tails, LSTM carries, K/V
+    ring buffers, iSTFT lookback),
+  * the (nfft - stride)-sample input tail that turns each incoming
+    `stride`-sample chunk into an nfft-sample analysis window,
+  * an active mask — attaching/detaching a stream zeroes exactly its
+    state slice, with no recompilation and no effect on other slots.
+
+Every step is one jitted call: fixed shapes, O(1) state, 8 ms of audio
+in -> 8 ms out per stream.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _mask_tree(tree, keep_mask):
+    """Zero the leading-dim slices where keep_mask is False. Leaves
+    without a per-stream leading dim (e.g. the scalar ring-buffer
+    cursor) pass through untouched."""
+    n = keep_mask.shape[0]
+    def leaf(x):
+        if x.ndim == 0 or x.shape[0] != n:
+            return x
+        m = keep_mask.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, jnp.zeros_like(x))
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+class StreamingEngine:
+    def __init__(self, model, params, max_streams: int = 64,
+                 dtype=jnp.float32, kv_dtype=None) -> None:
+        """kv_dtype=jnp.bfloat16 halves the K/V ring-buffer HBM
+        traffic (the serving step's dominant cost) at negligible
+        quality cost; default keeps full precision."""
+        self.model = model
+        self.params = params
+        self.n = max_streams
+        self.dtype = dtype
+        self.chunk = model.stft_chunk_size
+        self.nfft = model.nfft
+        self.n_mics = model.num_ch
+        self.embed_dim = model.embed_dim
+
+        assert self.nfft - self.chunk <= self.chunk, \
+            "lookahead pad must not exceed the chunk size"
+        self.state = model.init_state(max_streams, dtype,
+                                      kv_dtype=kv_dtype)
+        # previous chunk; each analysis window = [prev_chunk ;
+        # new_chunk[:pad]] so the frame grid matches the reference's
+        # chunk-aligned framing (net.py:54-66). Output therefore lags
+        # the input by chunk + pad samples = the 12 ms algorithmic
+        # latency (8 ms chunk + 4 ms lookahead).
+        self.input_tail = jnp.zeros(
+            (max_streams, self.n_mics, self.chunk), dtype)
+        self.embeds = jnp.zeros((max_streams, self.embed_dim), dtype)
+        self.active = np.zeros(max_streams, bool)
+
+        pad = self.nfft - self.chunk
+        # a slot is "primed" once its tail holds a real chunk; before
+        # that its analysis window would be a bogus [zeros; chunk]
+        # pre-frame that must not touch the state (a fresh stream's
+        # frame 0 is [chunk_k ; chunk_{k+1}[:pad]], like the reference
+        # framing at net.py:54-66)
+        self.primed = np.zeros(max_streams, bool)
+
+        @jax.jit
+        def _step(params, embeds, state, tail, chunks, primed):
+            window = jnp.concatenate([tail, chunks[..., :pad]], axis=-1)
+            y, new_state = model.apply({"params": params}, window,
+                                       embeds, state, method=model.step)
+
+            def keep(new, old):
+                if new.ndim == 0 or new.shape[0] != self.n:
+                    return new  # global scalars (ring cursor) advance
+                m = primed.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+            state = jax.tree_util.tree_map(keep, new_state, state)
+            y = y * primed.reshape(-1, 1, 1).astype(y.dtype)
+            return y, state, chunks
+
+        @jax.jit
+        def _reset(state, tail, keep):
+            return _mask_tree(state, keep), _mask_tree(tail, keep)
+
+        self._step = _step
+        self._reset = _reset
+
+    # -- stream management -------------------------------------------------
+
+    def add_stream(self, slot: int, embedding: np.ndarray) -> None:
+        """Claim `slot` for a new stream with its speaker d-vector.
+        The slot's state is zeroed (fresh stream start)."""
+        assert 0 <= slot < self.n
+        keep = jnp.asarray(~self._one_hot(slot))
+        self.state, self.input_tail = self._reset(
+            self.state, self.input_tail, keep)
+        self.embeds = self.embeds.at[slot].set(
+            jnp.asarray(embedding, self.dtype))
+        self.active[slot] = True
+        self.primed[slot] = False
+
+    def remove_stream(self, slot: int) -> None:
+        self.active[slot] = False
+        self.primed[slot] = False
+
+    def _one_hot(self, slot: int) -> np.ndarray:
+        m = np.zeros(self.n, bool)
+        m[slot] = True
+        return m
+
+    # -- inference ----------------------------------------------------------
+
+    def step(self, chunks) -> jax.Array:
+        """chunks: [max_streams, n_mics, chunk] new audio (inactive
+        slots: anything, their output is zeroed). Returns separated
+        audio [max_streams, n_srcs, chunk] delayed by the model's
+        algorithmic latency."""
+        chunks = jnp.asarray(chunks, self.dtype)
+        y, self.state, self.input_tail = self._step(
+            self.params, self.embeds, self.state, self.input_tail,
+            chunks, jnp.asarray(self.primed & self.active))
+        self.primed |= self.active
+        return y
+
+    # -- benchmarking ---------------------------------------------------------
+
+    def benchmark(self, n_iters: int = 100, warmup: int = 20) -> dict:
+        """Steady-state per-chunk latency (blocking each step — true
+        latency, not pipelined throughput) + derived RTF."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(
+            (self.n, self.n_mics, self.chunk)), self.dtype)
+        for _ in range(warmup):
+            y = self.step(x)
+        jax.block_until_ready(y)
+        lat = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            y = self.step(x)
+            jax.block_until_ready(y)
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat)
+        chunk_s = self.chunk / 16000.0
+        return {
+            "p50_ms": float(np.percentile(lat, 50) * 1e3),
+            "p99_ms": float(np.percentile(lat, 99) * 1e3),
+            "rtf": float(np.median(lat) / chunk_s),
+            "streams": self.n,
+        }

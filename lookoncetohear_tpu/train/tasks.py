@@ -66,11 +66,14 @@ class TSETask(Task):
 
     def device_batch(self, batch):
         inputs, targets = batch
-        return {
+        out = {
             "mixture": inputs["mixture"],
             "target": targets["target"],
             "embedding_gt": targets["embedding_gt"],
         }
+        if self.dir_loss:
+            out["tgt_shift"] = inputs["tgt_shift"]
+        return out
 
     def init_params(self, rng, batch):
         b = self.device_batch(batch)
@@ -83,17 +86,37 @@ class TSETask(Task):
         return self.model.apply({"params": params}, mixture, embedding)
 
     def loss_and_metrics(self, params, batch, epoch):
-        out = self.forward(params, batch["mixture"],
-                           batch["embedding_gt"])
         target = batch["target"]
-        loss = -jnp.mean(snr(out, target))
+        metrics = {}
+        if self.dir_loss:
+            # auxiliary direction-of-arrival CE (reference
+            # ts_hear_embed_pl_module.py:71-87)
+            import optax
+            out, dir_logits = self.model.apply(
+                {"params": params}, batch["mixture"],
+                batch["embedding_gt"], dir=True)
+            gt_idx = self.model._shifts_to_indices(batch["tgt_shift"])
+            logits = jnp.mean(dir_logits, axis=1)  # [B, n_bins]
+            d_loss = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    logits, gt_idx))
+            n_bins = logits.shape[-1]
+            pred_deg = jnp.argmax(logits, -1) * (180.0 / n_bins)
+            gt_deg = gt_idx * (180.0 / n_bins)
+            metrics["dir_loss"] = d_loss
+            metrics["dir_error"] = jnp.mean(jnp.abs(pred_deg - gt_deg))
+        else:
+            out = self.forward(params, batch["mixture"],
+                               batch["embedding_gt"])
+            d_loss = 0.0
+        loss = -jnp.mean(snr(out, target)) + d_loss
         mix = batch["mixture"][:, jnp.array([0, -1])]
-        metrics = {
+        metrics.update({
             "loss": loss,
             "snr_i": jnp.mean(metric_improvement(snr, mix, out, target)),
             "si_snr_i": jnp.mean(
                 metric_improvement(si_snr, mix, out, target)),
-        }
+        })
         return loss, metrics
 
 

@@ -1,0 +1,121 @@
+"""Serving engine + Pallas streaming-attention kernel."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lookoncetohear_tpu.models.net import Net
+from lookoncetohear_tpu.ops.attention import local_attention_step
+from lookoncetohear_tpu.ops.pallas_attention import attention_step_pallas
+from lookoncetohear_tpu.serve.engine import StreamingEngine
+
+TINY = dict(embed_dim=32, stft_chunk_size=64, stft_pad_size=32,
+            num_ch=2, D=8, L=2, I=1, J=1, B=2, H=8,
+            local_atten_len=8, use_attn=True, lookahead=True,
+            chunk_causal=True)
+
+
+def _engine(n=4):
+    model = Net(**TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 640)),
+        jnp.zeros((1, 1, TINY["embed_dim"])))["params"]
+    return model, params, StreamingEngine(model, params, max_streams=n)
+
+
+class TestPallasAttention:
+    def test_matches_jnp_step(self):
+        rng = np.random.default_rng(0)
+        b, w, dk, dv = 8, 10, 50, 36
+        q = jnp.asarray(rng.standard_normal((b, dk)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, dk)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, dv)), jnp.float32)
+        kb = jnp.asarray(rng.standard_normal((b, w - 1, dk)), jnp.float32)
+        vb = jnp.asarray(rng.standard_normal((b, w - 1, dv)), jnp.float32)
+        want, wk, wv = local_attention_step(q, k, v, kb, vb)
+        got, gk, gv = attention_step_pallas(q, k, v, kb, vb,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+
+    def test_flagship_shapes(self):
+        rng = np.random.default_rng(1)
+        b, w, dk, dv = 16, 50, 582, 776  # 4 streams x 4 heads, F=97
+        q = jnp.asarray(rng.standard_normal((b, dk)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, dk)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, dv)), jnp.float32)
+        kb = jnp.asarray(rng.standard_normal((b, w - 1, dk)), jnp.float32)
+        vb = jnp.asarray(rng.standard_normal((b, w - 1, dv)), jnp.float32)
+        want, _, _ = local_attention_step(q, k, v, kb, vb)
+        got, _, _ = attention_step_pallas(q, k, v, kb, vb,
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+
+@pytest.mark.slow
+class TestStreamingEngine:
+    def test_engine_matches_full_forward(self):
+        model, params, eng = _engine(n=2)
+        rng = np.random.default_rng(2)
+        chunk, n_chunks = TINY["stft_chunk_size"], 12
+        n = chunk * n_chunks
+        x = rng.standard_normal((2, 2, n)).astype(np.float32)
+        emb = rng.standard_normal((2, TINY["embed_dim"])).astype(
+            np.float32)
+        eng.add_stream(0, emb[0])
+        eng.add_stream(1, emb[1])
+
+        outs = []
+        for i in range(n_chunks):
+            outs.append(np.asarray(
+                eng.step(x[:, :, i * chunk:(i + 1) * chunk])))
+        streamed = np.concatenate(outs, axis=-1)
+
+        full = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(emb[:, None]),
+            model.init_state(2), pad=False, method=model.predict)[0])
+        # the engine emits each chunk one step late (it waits for the
+        # next chunk's first pad samples = the lookahead): output chunk
+        # k == full-forward chunk k-1
+        np.testing.assert_allclose(streamed[..., chunk:],
+                                   full[..., :n - chunk], atol=1e-4)
+
+    def test_slot_isolation(self):
+        _, _, eng = _engine(n=3)
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((3, TINY["embed_dim"])).astype(
+            np.float32)
+        for s in range(3):
+            eng.add_stream(s, emb[s])
+        x = rng.standard_normal((3, 2, TINY["stft_chunk_size"] * 4)).astype(
+            np.float32)
+        c = TINY["stft_chunk_size"]
+        ref = [np.asarray(eng.step(x[:, :, i * c:(i + 1) * c]))
+               for i in range(4)]
+
+        # re-run with stream 1 reset mid-way: streams 0/2 unaffected
+        _, _, eng2 = _engine(n=3)
+        for s in range(3):
+            eng2.add_stream(s, emb[s])
+        out2 = []
+        for i in range(4):
+            if i == 2:
+                eng2.add_stream(1, emb[1])  # reset slot 1
+            out2.append(np.asarray(eng2.step(x[:, :, i * c:(i + 1) * c])))
+        for i in range(4):
+            np.testing.assert_allclose(out2[i][0], ref[i][0], atol=1e-5)
+            np.testing.assert_allclose(out2[i][2], ref[i][2], atol=1e-5)
+        assert not np.allclose(out2[3][1], ref[3][1])
+
+    def test_inactive_slots_zero(self):
+        _, _, eng = _engine(n=2)
+        eng.add_stream(0, np.ones(TINY["embed_dim"], np.float32))
+        x = np.random.default_rng(4).standard_normal(
+            (2, 2, TINY["stft_chunk_size"])).astype(np.float32)
+        y = np.asarray(eng.step(x))
+        assert np.abs(y[1]).max() == 0.0
+        assert np.abs(y[0]).max() >= 0.0
