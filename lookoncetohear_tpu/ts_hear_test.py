@@ -33,13 +33,27 @@ from lookoncetohear_tpu.train.checkpoint import restore
 
 def load_task(config, run_dir: str):
     """Build the task and load run_dir/best.ckpt params (reference
-    load_model, ts_hear_test.py:18-34)."""
+    load_model, ts_hear_test.py:18-34). A best.ckpt that is a FILE is
+    treated as a reference PyTorch/Lightning checkpoint and converted
+    (lookoncetohear_tpu/convert.py)."""
     task = utils.import_attr(config.pl_module)(**config.pl_module_args)
     ckpt = os.path.join(run_dir, "best.ckpt")
     params = None
-    if os.path.isdir(ckpt) or os.path.exists(ckpt):
+    if os.path.isdir(ckpt):
         print(f"Loading {ckpt}")
         params = restore(ckpt)["params"]
+    elif os.path.isfile(ckpt):
+        print(f"Loading (torch) {ckpt}")
+        from lookoncetohear_tpu import convert
+        sd = convert.load_torch_checkpoint(ckpt)
+        mp = config.pl_module_args["model_params"]
+        if any("tfgridnet" in k for k in sd):
+            params = convert.convert_tse_state_dict(
+                sd, n_layers=mp.get("B", 3),
+                use_attn=mp.get("use_attn", True))
+        else:
+            params = convert.convert_embed_state_dict(
+                sd, n_layers=mp.get("num_blocks", 3))
     else:
         print(f"Warning: no checkpoint found in {run_dir}")
     return task, params
@@ -153,6 +167,20 @@ def run(args) -> pd.DataFrame:
             enroll_params = enroll_task.init_params(
                 jax.random.PRNGKey(0), _first_batch(config, args))
 
+    embed_from_wav = getattr(args, "embed_from_wav", False)
+    if embed_from_wav:
+        # re-embed the enrollment net's output with resemblyzer
+        # (reference ts_hear_test.py:36-43,126-131; optional package)
+        from resemblyzer import VoiceEncoder, preprocess_wav
+        encoder = VoiceEncoder()
+
+        def dvector_from_audio(x, sr):
+            embs = []
+            for i in range(x.shape[0]):
+                wav = preprocess_wav(np.asarray(x[i]).mean(0), sr)
+                embs.append(encoder.embed_utterance(wav))
+            return jnp.asarray(np.stack(embs))
+
     ds_key = f"{args.dset}_dataset"
     da_key = f"{args.dset}_data_args"
     ds = utils.import_attr(getattr(config, ds_key))(
@@ -172,7 +200,11 @@ def run(args) -> pd.DataFrame:
     for i, (inputs, targets) in enumerate(dl):
         mixture = jnp.asarray(inputs["mixture"])
         gt_emb = jnp.asarray(targets["embedding_gt"])  # [B, 1, E]
-        if enroll_task is not None:
+        if enroll_task is not None and embed_from_wav:
+            enroll = jnp.asarray(inputs["enrollments"][:, 0])
+            sep = emb_fwd(enroll_params, enroll)
+            embedding = dvector_from_audio(sep, sr)[:, None]
+        elif enroll_task is not None:
             enroll = jnp.asarray(inputs["enrollments"][:, 0])
             embedding = emb_fwd(enroll_params, enroll)[:, None]
         else:
@@ -226,5 +258,7 @@ if __name__ == "__main__":
     parser.add_argument("--enroll_run_dir", type=str,
                         default="runs/embed")
     parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--embed_from_wav", action="store_true",
+                        default=False)
     args = parser.parse_args()
     run(args)
