@@ -10,6 +10,7 @@ side lists (SURVEY §7 hard-part 5).
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor
@@ -17,6 +18,10 @@ from typing import Any, Iterator
 
 import jax
 import numpy as np
+
+# fork() after JAX has spun up its threadpools can deadlock; workers
+# are spawned fresh (datasets must be picklable, which they are).
+_MP_CONTEXT = multiprocessing.get_context("spawn")
 
 
 def collate(samples: list) -> Any:
@@ -98,7 +103,8 @@ class DataLoader:
             for b in batches:
                 yield collate([self.dataset[int(i)] for i in b])
             return
-        with ProcessPoolExecutor(max_workers=self.num_workers) as pool:
+        with ProcessPoolExecutor(max_workers=self.num_workers,
+                                 mp_context=_MP_CONTEXT) as pool:
             flat = [int(i) for b in batches for i in b]
             it = pool.map(_fetch, [(self.dataset, i) for i in flat],
                           chunksize=max(1, self.batch_size // 2))

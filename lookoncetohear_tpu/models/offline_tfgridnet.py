@@ -180,6 +180,7 @@ class OfflineTFGridNetTrunk(nn.Module):
     emb_ks: int = 4
     emb_hs: int = 1
     eps: float = 1e-5
+    remat: bool = True  # see StreamingTFGridNet.remat
 
     @property
     def n_freqs(self) -> int:
@@ -193,8 +194,10 @@ class OfflineTFGridNetTrunk(nn.Module):
                 1.0 / 3.0, "fan_in", "uniform"),
             bias_init=_torch_linear_init(2 * self.n_imics * 9))
         self.conv_norm = GroupNorm1(d, eps=self.eps)
+        block_cls = nn.remat(GridNetBlockOffline) if self.remat \
+            else GridNetBlockOffline
         self.blocks = [
-            GridNetBlockOffline(
+            block_cls(
                 emb_dim=d, emb_ks=self.emb_ks, emb_hs=self.emb_hs,
                 n_freqs=self.n_freqs, hidden=self.lstm_hidden_units,
                 n_head=self.attn_n_head,

@@ -279,6 +279,11 @@ class StreamingTFGridNet(nn.Module):
     use_attn: bool = True
     eps: float = 1e-5
     t_ksize: int = 3
+    # rematerialize each block under autodiff: full-utterance training
+    # otherwise holds every LSTM scan step's activations for backward
+    # (~tens of GB at batch 8 x 5 s); recompute trades that for FLOPs
+    # (jax.checkpoint, SURVEY 'HBM bandwidth' guidance)
+    remat: bool = True
 
     @property
     def n_freqs(self) -> int:
@@ -298,8 +303,10 @@ class StreamingTFGridNet(nn.Module):
             kernel_init=nn.initializers.variance_scaling(
                 1.0 / 3.0, "fan_in", "uniform"),
             bias_init=_torch_linear_init(2 * self.n_imics * self.t_ksize * 3))
+        block_cls = nn.remat(GridNetBlockStreaming) if self.remat \
+            else GridNetBlockStreaming
         self.blocks = [
-            GridNetBlockStreaming(
+            block_cls(
                 emb_dim=d, n_freqs=f, hidden=self.lstm_hidden_units,
                 n_head=self.attn_n_head,
                 approx_qk_dim=self.attn_approx_qk_dim,

@@ -1,0 +1,99 @@
+"""CLI entry points exercised as subprocesses (the reference's smoke
+flags: trainer --frac, ts_hear_test --sample)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+TINY_CFG = {
+    "pl_module": "lookoncetohear_tpu.train.tasks.TSETask",
+    "pl_module_args": {
+        "model": "lookoncetohear_tpu.models.net.Net",
+        "model_params": {
+            "embed_dim": 32, "stft_chunk_size": 64, "stft_pad_size": 32,
+            "num_ch": 2, "D": 8, "L": 2, "I": 1, "J": 1, "B": 1,
+            "H": 8, "local_atten_len": 6, "use_attn": True,
+            "lookahead": True, "chunk_causal": True},
+        "lr": 1e-3},
+    "train_dataset":
+        "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
+    "train_data_args": {"dset": "train", "n_samples": 8,
+                        "n_speakers": 4, "duration": 0.25,
+                        "embed_dim": 32},
+    "val_dataset":
+        "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
+    "val_data_args": {"dset": "val", "n_samples": 8, "n_speakers": 4,
+                      "duration": 0.25, "embed_dim": 32},
+    "test_dataset":
+        "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
+    "test_data_args": {"dset": "test", "n_samples": 8, "n_speakers": 4,
+                       "duration": 0.25, "embed_dim": 32},
+    "epochs": 1,
+    "batch_size": 8,
+    "eval_batch_size": 8,
+    "num_workers": 0,
+}
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8"
+                        ).strip()
+    return env
+
+
+@pytest.mark.slow
+class TestCLI:
+    def test_trainer_cli_train_and_test(self, tmp_path):
+        cfg = str(tmp_path / "cfg.json")
+        with open(cfg, "w") as f:
+            json.dump(TINY_CFG, f)
+        run_dir = str(tmp_path / "run")
+        r = subprocess.run(
+            [sys.executable, "-m", "lookoncetohear_tpu.trainer",
+             "--config", cfg, "--run_dir", run_dir],
+            env=_env(), capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.isdir(os.path.join(run_dir, "last.ckpt"))
+
+        # run_dir collision guard: rerun without --resume fails fast
+        r2 = subprocess.run(
+            [sys.executable, "-m", "lookoncetohear_tpu.trainer",
+             "--config", cfg, "--run_dir", run_dir],
+            env=_env(), capture_output=True, text=True, timeout=300)
+        assert r2.returncode != 0
+        assert "resume" in r2.stderr
+
+        # --test consumes the best checkpoint
+        r3 = subprocess.run(
+            [sys.executable, "-m", "lookoncetohear_tpu.trainer",
+             "--config", cfg, "--run_dir", run_dir, "--test"],
+            env=_env(), capture_output=True, text=True, timeout=900)
+        assert r3.returncode == 0, r3.stderr[-3000:]
+
+    def test_launch_dry_run(self, tmp_path):
+        lcfg = str(tmp_path / "launch.json")
+        with open(lcfg, "w") as f:
+            json.dump({"work_dir": str(tmp_path / "work"),
+                       "dataset_paths": [], "local_files": [],
+                       "env": {"JAX_PLATFORMS": "tpu"}}, f)
+        ecfg = str(tmp_path / "exp.json")
+        with open(ecfg, "w") as f:
+            json.dump(TINY_CFG, f)
+        run_dir = str(tmp_path / "lrun")
+        r = subprocess.run(
+            [sys.executable, "launch.py", "--launch_config", lcfg,
+             "--exp_config", ecfg, "--run_dir", run_dir, "--dry_run"],
+            capture_output=True, text=True, timeout=120,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        script = os.path.join(run_dir, "run.sh")
+        assert os.path.exists(script)
+        body = open(script).read()
+        assert "git checkout" in body and "--resume" in body
+        assert os.path.exists(os.path.join(run_dir, "config.json"))
