@@ -1,0 +1,125 @@
+"""Pre-render dataset samples to disk (npz shards).
+
+On-the-fly scene rendering costs two scaper-style renders plus up to
+eight long BRIR convolutions per sample (SURVEY §7 hard-part 3). For
+the deterministic val/test splits — and for "frozen-epoch" training —
+this tool materializes the device-relevant arrays once so epochs
+afterwards are pure mmap'd reads:
+
+  python -m lookoncetohear_tpu.data.prep.prerender \
+      --config configs/tsh.json --which val --out data/prerendered/val
+
+Training then points the config's dataset at
+`lookoncetohear_tpu.data.prep.prerender.PrerenderedDataset` with
+`{"root": "data/prerendered/val"}`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+DEVICE_KEYS_IN = ("mixture", "enrollments", "enrollments_clean",
+                  "mixture_sisnr", "enrollments_sisnr",
+                  "enrollments_id", "tgt_idx", "tgt_shift",
+                  "tgt_ang_vel", "tgt_enroll_error")
+DEVICE_KEYS_TGT = ("target", "embedding_gt", "tgt_spk_idx")
+
+
+def render_split(dataset, out_dir: str, limit: int | None = None,
+                 num_workers: int = 0) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+
+    def render_one(i):
+        inputs, targets = dataset[i]
+        arrays = {}
+        for k in DEVICE_KEYS_IN:
+            if k in inputs:
+                arrays[f"in_{k}"] = np.asarray(inputs[k])
+        for k in DEVICE_KEYS_TGT:
+            if k in targets:
+                arrays[f"tgt_{k}"] = np.asarray(targets[k])
+        neg = targets.get("embedding_neg")
+        if neg is not None:
+            arrays["tgt_embedding_neg"] = np.stack(
+                [np.asarray(x) for x in neg])
+        np.savez(os.path.join(out_dir, f"{i:08d}.npz"), **arrays)
+
+    if num_workers > 0:
+        from concurrent.futures import ProcessPoolExecutor
+        import multiprocessing
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(num_workers, mp_context=ctx) as pool:
+            list(pool.map(_RenderOne(dataset, out_dir), range(n)))
+    else:
+        for i in range(n):
+            render_one(i)
+
+
+class _RenderOne:
+    def __init__(self, dataset, out_dir):
+        self.dataset = dataset
+        self.out_dir = out_dir
+
+    def __call__(self, i):
+        inputs, targets = self.dataset[i]
+        arrays = {}
+        for k in DEVICE_KEYS_IN:
+            if k in inputs:
+                arrays[f"in_{k}"] = np.asarray(inputs[k])
+        for k in DEVICE_KEYS_TGT:
+            if k in targets:
+                arrays[f"tgt_{k}"] = np.asarray(targets[k])
+        neg = targets.get("embedding_neg")
+        if neg is not None:
+            arrays["tgt_embedding_neg"] = np.stack(
+                [np.asarray(x) for x in neg])
+        np.savez(os.path.join(self.out_dir, f"{i:08d}.npz"), **arrays)
+
+
+class PrerenderedDataset:
+    """Reads shards written by `render_split` with the live dataset's
+    (inputs, targets) schema (numeric fields only)."""
+
+    def __init__(self, root: str, **_ignored) -> None:
+        self.root = root
+        self.files = sorted(
+            f for f in os.listdir(root) if f.endswith(".npz"))
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        with np.load(os.path.join(self.root, self.files[idx])) as z:
+            inputs = {k[3:]: z[k] for k in z.files
+                      if k.startswith("in_")}
+            targets = {k[4:]: z[k] for k in z.files
+                       if k.startswith("tgt_")
+                       and k != "tgt_embedding_neg"}
+            if "tgt_embedding_neg" in z.files:
+                neg = z["tgt_embedding_neg"]
+                targets["embedding_neg"] = [neg[i]
+                                            for i in range(len(neg))]
+        return inputs, targets
+
+
+if __name__ == "__main__":
+    from lookoncetohear_tpu import utils
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--which", default="val",
+                        choices=["train", "val", "test"])
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--num", type=int, default=None)
+    parser.add_argument("--num_workers", type=int, default=8)
+    args = parser.parse_args()
+    cfg = utils.Params(args.config)
+    ds = utils.import_attr(getattr(cfg, f"{args.which}_dataset"))(
+        **getattr(cfg, f"{args.which}_data_args"))
+    render_split(ds, args.out, limit=args.num,
+                 num_workers=args.num_workers)
+    print(f"rendered {args.num or len(ds)} samples -> {args.out}")

@@ -242,3 +242,32 @@ class TestLoader:
         assert len(out) == 2
         import jax
         assert isinstance(out[0][0]["mixture"], jax.Array)
+
+
+class TestPrerender:
+    def test_round_trip(self, tmp_path):
+        from lookoncetohear_tpu.data.prep.prerender import (
+            PrerenderedDataset, render_split)
+        ds = SyntheticTSEDataset(dset="val", n_samples=3, duration=0.25)
+        out = str(tmp_path / "pre")
+        render_split(ds, out)
+        pre = PrerenderedDataset(out)
+        assert len(pre) == 3
+        (i0, t0), (i1, t1) = ds[1], pre[1]
+        np.testing.assert_array_equal(i0["mixture"], i1["mixture"])
+        np.testing.assert_array_equal(t0["target"], t1["target"])
+        np.testing.assert_array_equal(t0["embedding_gt"],
+                                      t1["embedding_gt"])
+        assert len(t1["embedding_neg"]) == len(t0["embedding_neg"])
+
+    def test_feeds_dataloader(self, tmp_path):
+        from lookoncetohear_tpu.data.prep.prerender import (
+            PrerenderedDataset, render_split)
+        ds = SyntheticTSEDataset(dset="val", n_samples=4, duration=0.25)
+        out = str(tmp_path / "pre")
+        render_split(ds, out)
+        dl = DataLoader(PrerenderedDataset(out), batch_size=2,
+                        shard_across_processes=False)
+        batches = list(dl)
+        assert len(batches) == 2
+        assert batches[0][0]["mixture"].shape[0] == 2
