@@ -47,6 +47,19 @@ class LatencyRecorder:
         }
 
 
+def cost_analysis(fn, *args) -> dict:
+    """Compiled-cost estimate for a jittable function — FLOPs and
+    bytes accessed from XLA's own analysis (replaces the reference's
+    offline ptflops dependency, reference requirements.txt:23)."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # older jax returns [dict]
+        costs = costs[0]
+    return {"flops": costs.get("flops", float("nan")),
+            "bytes_accessed": costs.get("bytes accessed",
+                                        float("nan"))}
+
+
 def device_step_time(fn, args, n_iters: int = 40) -> float:
     """Trustworthy per-call device time for a chained stateful step:
     differential timing with a forced host fetch (plain

@@ -119,3 +119,35 @@ class TestStreamingEngine:
         y = np.asarray(eng.step(x))
         assert np.abs(y[1]).max() == 0.0
         assert np.abs(y[0]).max() >= 0.0
+
+
+@pytest.mark.slow
+class TestBf16KV:
+    def test_streaming_with_bf16_kv_close_to_f32(self):
+        """bf16 K/V ring buffers: outputs track the f32 state path
+        within bf16 rounding (the serving memory optimization)."""
+        model = Net(**TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 640)),
+            jnp.zeros((1, 1, TINY["embed_dim"])))["params"]
+        rng = np.random.default_rng(7)
+        chunk = TINY["stft_chunk_size"]
+        nfft = chunk + TINY["stft_pad_size"]
+        x = rng.standard_normal((1, 2, nfft)).astype(np.float32)
+        emb = rng.standard_normal((1, TINY["embed_dim"])).astype(
+            np.float32)
+
+        def run(kv):
+            state = model.init_state(1, kv_dtype=kv)
+            outs = []
+            for _ in range(8):
+                y, state = model.apply({"params": params},
+                                       jnp.asarray(x), jnp.asarray(emb),
+                                       state, method=model.step)
+                outs.append(np.asarray(y))
+            return np.concatenate(outs, -1)
+
+        y32 = run(jnp.float32)
+        y16 = run(jnp.bfloat16)
+        err = np.abs(y16 - y32).max() / (np.abs(y32).max() + 1e-9)
+        assert err < 0.05, err
