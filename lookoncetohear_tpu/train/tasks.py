@@ -176,6 +176,49 @@ class EmbedTask(Task):
         return loss, {"loss": loss, "pos_loss": pos}
 
 
+class SeparationTask(Task):
+    """2-speaker PIT separation (the reference's separation
+    experiments: SpeechSeparationDataset + losses/sisdr_with_pit.py;
+    the reference ships the pieces but no task module — this completes
+    that surface). Model: the offline separator (or any
+    x -> [B, 2, T] net)."""
+
+    def __init__(self, model: str, model_params: dict, lr: float,
+                 scheduler: str | None = None,
+                 scheduler_params: dict | None = None,
+                 init_ckpt: str | None = None) -> None:
+        self.model = utils.import_attr(model)(**model_params)
+        self.lr = lr
+        self.init_ckpt = init_ckpt
+        self.scheduler = scheduler
+        self.scheduler_params = scheduler_params or {}
+        self.monitor = "val/loss"
+        self.monitor_mode = "min"
+
+    def device_batch(self, batch):
+        inputs, targets = batch
+        return {
+            "mixture": inputs["mixture"],
+            "target1": targets["target1"],
+            "target2": targets["target2"],
+        }
+
+    def init_params(self, rng, batch):
+        b = self.device_batch(batch)
+        return self.model.init(rng, jnp.asarray(b["mixture"][:1]))["params"]
+
+    def loss_and_metrics(self, params, batch, epoch):
+        from lookoncetohear_tpu.losses.loss_fn import _pit_sisdr
+        out = self.model.apply({"params": params}, batch["mixture"])
+        # out [B, 2, T]: source estimates; PIT over both orderings
+        est1, est2 = out[:, :1], out[:, 1:]
+        loss, o1, o2 = _pit_sisdr(None, None, est1, est2,
+                                  batch["target1"][:, :1],
+                                  batch["target2"][:, :1])
+        sisdr1 = jnp.mean(si_snr(o1[:, 0], batch["target1"][:, 0]))
+        return loss, {"loss": loss, "si_sdr": sisdr1}
+
+
 class EmbeddingTableLogger:
     """The reference's wandb embedding-table callback (reference
     ts_hear_embed_pl_module.py:148-160) as a CSV dump: every val epoch,

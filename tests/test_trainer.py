@@ -131,3 +131,31 @@ class TestMesh:
         mesh = data_mesh(n_model=2)
         assert mesh.shape["model"] == 2
         assert mesh.shape["data"] == jax.device_count() // 2
+
+
+@pytest.mark.slow
+class TestSeparationTask:
+    def test_pit_loss_and_grads(self):
+        from lookoncetohear_tpu.train.tasks import SeparationTask
+        task = SeparationTask(
+            model="lookoncetohear_tpu.models.net.OfflineSeparatorNet",
+            model_params=dict(num_ch=2, n_fft=64, stride=32,
+                              num_blocks=1, n_srcs=2),
+            lr=1e-3)
+        rng = np.random.default_rng(0)
+        n = 2000
+        batch_raw = (
+            {"mixture": rng.standard_normal((4, 2, n)).astype(np.float32)},
+            {"target1": rng.standard_normal((4, 2, n)).astype(np.float32),
+             "target2": rng.standard_normal((4, 2, n)).astype(np.float32)},
+        )
+        import jax.numpy as jnp
+        batch = {k: jnp.asarray(v)
+                 for k, v in task.device_batch(batch_raw).items()}
+        params = task.init_params(jax.random.PRNGKey(0), batch_raw)
+        loss, metrics = task.loss_and_metrics(params, batch, 0)
+        assert np.isfinite(float(loss)) and "si_sdr" in metrics
+        g = jax.grad(lambda p: task.loss_and_metrics(p, batch, 0)[0])(
+            params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
