@@ -13,14 +13,20 @@ from __future__ import annotations
 import multiprocessing
 import queue
 import threading
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Iterator
 
 import jax
 import numpy as np
 
-# fork() after JAX has spun up its threadpools can deadlock; workers
-# are spawned fresh (datasets must be picklable, which they are).
+# Process workers are a minefield next to an initialized JAX runtime:
+# fork() can deadlock JAX's threadpools, and spawn re-imports the
+# entry module (pulling JAX + the TPU plugin into every worker). The
+# default is therefore THREAD workers — the render pipeline is
+# numpy/scipy (fftconvolve, rfft, wav IO), which release the GIL, so
+# threads overlap well. `worker_type="process"` (spawn) remains
+# available for pure-Python-heavy datasets run from import-light
+# entry points.
 _MP_CONTEXT = multiprocessing.get_context("spawn")
 
 
@@ -67,7 +73,10 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  seed: int = 0, num_workers: int = 0,
-                 drop_last: bool = True, shard_across_processes: bool = True):
+                 drop_last: bool = True,
+                 shard_across_processes: bool = True,
+                 worker_type: str = "thread"):
+        assert worker_type in ("thread", "process")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -75,6 +84,7 @@ class DataLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.shard = shard_across_processes
+        self.worker_type = worker_type
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -103,8 +113,13 @@ class DataLoader:
             for b in batches:
                 yield collate([self.dataset[int(i)] for i in b])
             return
-        with ProcessPoolExecutor(max_workers=self.num_workers,
-                                 mp_context=_MP_CONTEXT) as pool:
+        if self.worker_type == "thread":
+            pool_cls = lambda: ThreadPoolExecutor(  # noqa: E731
+                max_workers=self.num_workers)
+        else:
+            pool_cls = lambda: ProcessPoolExecutor(  # noqa: E731
+                max_workers=self.num_workers, mp_context=_MP_CONTEXT)
+        with pool_cls() as pool:
             flat = [int(i) for b in batches for i in b]
             it = pool.map(_fetch, [(self.dataset, i) for i in flat],
                           chunksize=max(1, self.batch_size // 2))
