@@ -81,6 +81,7 @@ class Net(nn.Module):
             spk_emb_dim=self.embed_dim,
             local_atten_len=self.local_atten_len,
             use_attn=self.use_attn,
+            chunk_causal=self.chunk_causal,
         )
         if self.dir_head:
             from lookoncetohear_tpu.models.streaming_tfgridnet import \

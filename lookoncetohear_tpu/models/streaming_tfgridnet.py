@@ -92,6 +92,7 @@ class GridNetBlockStreaming(nn.Module):
     approx_qk_dim: int = 512
     local_atten_len: int = 50
     use_attn: bool = True
+    chunk_causal: bool = True
     eps: float = 1e-5
 
     @property
@@ -196,12 +197,23 @@ class GridNetBlockStreaming(nn.Module):
                     qf[:, 0], kf[:, 0], vf[:, 0], k_buf, v_buf,
                     state["pos"])
             out = out[:, None]
-        else:
+        elif self.chunk_causal:
             out, nk, nvb = att_ops.local_attention(
                 qf, kf, vf, w, k_buf.astype(qf.dtype),
                 v_buf.astype(vf.dtype))
             nk = nk.astype(state["k_buf"].dtype)
             nvb = nvb.astype(state["v_buf"].dtype)
+        else:
+            # offline fallback: triangular band mask over REAL
+            # positions only (no zero ghost keys before the stream
+            # start) — reference tfgridnet_causal.py:456-487
+            out = att_ops.causal_banded_attention_full(qf, kf, vf, w)
+            hist_k = jnp.concatenate(
+                [k_buf.astype(qf.dtype), kf], axis=1)
+            hist_v = jnp.concatenate(
+                [v_buf.astype(vf.dtype), vf], axis=1)
+            nk = hist_k[:, -(w - 1):].astype(state["k_buf"].dtype)
+            nvb = hist_v[:, -(w - 1):].astype(state["v_buf"].dtype)
             # full pass leaves a time-ordered buffer; cursor 0 points
             # at the oldest slot, so subsequent ring steps stay correct
             new_state["pos"] = jnp.zeros((), jnp.int32)
@@ -277,6 +289,7 @@ class StreamingTFGridNet(nn.Module):
     spk_emb_dim: int = 256
     local_atten_len: int = 50
     use_attn: bool = True
+    chunk_causal: bool = True
     eps: float = 1e-5
     t_ksize: int = 3
     # rematerialize each block under autodiff: full-utterance training
@@ -311,7 +324,8 @@ class StreamingTFGridNet(nn.Module):
                 n_head=self.attn_n_head,
                 approx_qk_dim=self.attn_approx_qk_dim,
                 local_atten_len=self.local_atten_len,
-                use_attn=self.use_attn, eps=self.eps)
+                use_attn=self.use_attn, chunk_causal=self.chunk_causal,
+                eps=self.eps)
             for i in range(self.n_layers)
         ]
         self.embed_proj_dense = TorchDense(d * f)

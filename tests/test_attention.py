@@ -93,3 +93,41 @@ def test_window_exceeds_sequence():
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), w)
     ref = _naive_banded(q, k, v, w)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_offline_fallback_model_runs():
+    """chunk_causal=False: triangular-masked full attention path
+    (reference tfgridnet_causal.py:456-487) compiles and runs."""
+    import jax
+    from lookoncetohear_tpu.models.net import Net
+    net = Net(embed_dim=16, stft_chunk_size=32, stft_pad_size=16,
+              num_ch=2, D=8, L=2, B=1, H=8, local_atten_len=6,
+              use_attn=True, lookahead=True, chunk_causal=False)
+    x = jnp.zeros((1, 2, 320))
+    e = jnp.zeros((1, 1, 16))
+    params = net.init(jax.random.PRNGKey(0), x, e)
+    y = net.apply(params, x, e)
+    assert y.shape == (1, 2, 320)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+import jax
+
+
+def test_full_causal_matches_banded_inside_window():
+    """For T <= window with no history, banded-chunked attention and
+    the triangular full attention differ only in zero-ghost keys; with
+    window > T both see the same real keys for the final query."""
+    rng = np.random.default_rng(9)
+    b, t, d = 2, 6, 8
+    q = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    full = att.causal_banded_attention_full(q, k, v, window=t)
+    # last query in the banded form attends [t-w+1, t] incl. ghosts;
+    # compute manually over the real keys only for comparison
+    scores = (q[:, -1:] @ jnp.swapaxes(k, 1, 2)) / np.sqrt(d)
+    attn = jax.nn.softmax(scores, -1)
+    want = attn @ v
+    np.testing.assert_allclose(np.asarray(full[:, -1:]),
+                               np.asarray(want), atol=1e-5)
