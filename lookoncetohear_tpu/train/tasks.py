@@ -79,7 +79,8 @@ class TSETask(Task):
         b = self.device_batch(batch)
         variables = self.model.init(
             rng, jnp.asarray(b["mixture"][:1]),
-            jnp.asarray(b["embedding_gt"][:1]))
+            jnp.asarray(b["embedding_gt"][:1]),
+            dir=self.dir_loss)  # dir=True also creates the DoA head
         return variables["params"]
 
     def forward(self, params, mixture, embedding):

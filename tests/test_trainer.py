@@ -159,3 +159,28 @@ class TestSeparationTask:
             params)
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+@pytest.mark.slow
+class TestDirLoss:
+    def test_tse_task_with_doa_head(self):
+        from lookoncetohear_tpu.train.tasks import TSETask
+        import jax.numpy as jnp
+        cfg = dict(TINY_TSE)
+        cfg["model_params"] = dict(cfg["model_params"], dir_head=True,
+                                   n_dir_bins=9)
+        task = TSETask(**cfg, dir_loss=True)
+        ds = SyntheticTSEDataset(dset="val", n_samples=8, duration=0.5,
+                                 embed_dim=64, n_speakers=4)
+        from lookoncetohear_tpu.data.loader import collate
+        batch_raw = collate([ds[i] for i in range(4)])
+        params = task.init_params(jax.random.PRNGKey(0), batch_raw)
+        batch = {k: jnp.asarray(v)
+                 for k, v in task.device_batch(batch_raw).items()}
+        loss, metrics = task.loss_and_metrics(params, batch, 0)
+        assert np.isfinite(float(loss))
+        assert "dir_loss" in metrics and "dir_error" in metrics
+        g = jax.grad(lambda p: task.loss_and_metrics(p, batch, 0)[0])(
+            params)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))
