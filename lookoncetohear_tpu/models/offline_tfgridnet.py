@@ -102,11 +102,16 @@ class GridNetBlockOffline(nn.Module):
     def setup(self):
         c, k, h = self.emb_dim, self.emb_ks, self.hidden
         assert self.emb_hs == 1, "only stride-1 unfold supported"
+        # the two unfold-BiLSTMs hold the block's largest activations
+        # (xp/ys of every scan step, ~C*k widths over B*T rows); remat
+        # them individually so the block backward recomputes each scan
+        # instead of keeping both alive
+        lstm_cls = nn.remat(LSTM)
         self.intra_norm = EspnetLayerNorm4D(c, eps=self.eps)
-        self.intra_rnn = LSTM(c * k, h, bidirectional=True)
+        self.intra_rnn = lstm_cls(c * k, h, bidirectional=True)
         self.intra_linear = ConvTranspose1dK(c, k)
         self.inter_norm = EspnetLayerNorm4D(c, eps=self.eps)
-        self.inter_rnn = LSTM(c * k, h, bidirectional=True)
+        self.inter_rnn = lstm_cls(c * k, h, bidirectional=True)
         self.inter_linear = ConvTranspose1dK(c, k)
         e, vd = self.e_dim, c // self.n_head
         self.attn_q = [HeadConv1x1(e, self.n_freqs, eps=self.eps)
