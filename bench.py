@@ -44,11 +44,16 @@ def main() -> None:
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 2, nfft)),
                         jnp.zeros((1, 1, 256)))["params"]
-    emb = jnp.zeros((N_STREAMS, 256), jnp.float32)
-    state = model.init_state(N_STREAMS, kv_dtype=jnp.bfloat16)
+    # full-bf16 serving: measured 0.05 dB SI-SNRi cost on a trained
+    # checkpoint for ~half the HBM traffic (PERF.md)
+    dt = jnp.bfloat16
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dt),
+                                    params)
+    emb = jnp.zeros((N_STREAMS, 256), dt)
+    state = model.init_state(N_STREAMS, dtype=dt)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.standard_normal(
-        (SCAN_STEPS, N_STREAMS, 2, nfft)), jnp.float32)
+        (SCAN_STEPS, N_STREAMS, 2, nfft)), dt)
 
     @jax.jit
     def run(state, xs):

@@ -159,7 +159,7 @@ class GridNetBlockOffline(nn.Module):
         kk = ks.transpose(0, 1, 3, 2, 4).reshape(b, nh, t, e * f)
         v = vs.transpose(0, 1, 3, 2, 4).reshape(b, nh, t, vd * f)
 
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, kk) / np.sqrt(e * f)
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, kk) * float(1.0 / np.sqrt(e * f))
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhts,bhsd->bhtd", attn, v)  # [B,nh,T,V*F]
         out = out.reshape(b, nh, t, vd, f)

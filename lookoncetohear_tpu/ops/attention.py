@@ -46,7 +46,7 @@ def local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, t, dk = q.shape
     dv = v.shape[-1]
     w = window
-    scale = 1.0 / np.sqrt(dk)
+    scale = float(1.0 / np.sqrt(dk))
 
     if k_buf is None:
         k_buf = jnp.zeros((b, w - 1, dk), k.dtype)
@@ -104,7 +104,7 @@ def local_attention_step(q_t: jnp.ndarray, k_t: jnp.ndarray,
     Returns (out [B, Dv], new_k_buf, new_v_buf).
     """
     dk = q_t.shape[-1]
-    scale = 1.0 / np.sqrt(dk)
+    scale = float(1.0 / np.sqrt(dk))
     k_all = jnp.concatenate([k_buf, k_t[:, None]], axis=1)  # [B, W, Dk]
     v_all = jnp.concatenate([v_buf, v_t[:, None]], axis=1)
     scores = jnp.einsum("bd,bwd->bw", q_t, k_all) * scale
@@ -138,7 +138,7 @@ def local_attention_step_ring(q_t: jnp.ndarray, k_t: jnp.ndarray,
                                           update_buffers=False)
     else:
         dk = q_t.shape[-1]
-        scale = 1.0 / np.sqrt(dk)
+        scale = float(1.0 / np.sqrt(dk))
         k_all = jnp.concatenate(
             [k_buf.astype(cdt), k_t[:, None]], axis=1)
         v_all = jnp.concatenate(
@@ -162,7 +162,7 @@ def causal_banded_attention_full(q, k, v, window):
     buffers are absent). q/k/v: [B, T, D]."""
     t = q.shape[1]
     dk = q.shape[-1]
-    scores = jnp.einsum("btd,bsd->bts", q, k) / np.sqrt(dk)
+    scores = jnp.einsum("btd,bsd->bts", q, k) * float(1.0 / np.sqrt(dk))
     i = np.arange(t)[:, None]
     j = np.arange(t)[None, :]
     mask = (j <= i) & (j > i - window)

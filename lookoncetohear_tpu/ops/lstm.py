@@ -66,13 +66,16 @@ def lstm_apply(params: LSTMParams, x: jnp.ndarray,
     """
     b = x.shape[0]
     hidden = params.w_hh.shape[1]
-    if h0 is None:
-        h0 = jnp.zeros((b, hidden), x.dtype)
-    if c0 is None:
-        c0 = jnp.zeros((b, hidden), x.dtype)
     x_proj = x @ params.w_ih.T + (params.b_ih + params.b_hh)
-    return _lstm_scan(x_proj, params.w_hh.T, h0, c0, hidden,
-                      reverse=reverse)
+    # carries follow the compute dtype (params may be wider than the
+    # input, e.g. f32 params under a bf16 activation stream)
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), x_proj.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((b, hidden), x_proj.dtype)
+    return _lstm_scan(x_proj, params.w_hh.T,
+                      h0.astype(x_proj.dtype), c0.astype(x_proj.dtype),
+                      hidden, reverse=reverse)
 
 
 def lstm_apply_bidir(fwd: LSTMParams, bwd: LSTMParams, x: jnp.ndarray,
@@ -114,7 +117,7 @@ def lstm_apply_bidir(fwd: LSTMParams, bwd: LSTMParams, x: jnp.ndarray,
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
-        h0 = jnp.zeros((2, b, hidden), x.dtype)
+        h0 = jnp.zeros((2, b, hidden), xp.dtype)
         (h_t, c_t), ys = jax.lax.scan(step, (h0, h0), xp)
     # ys: [T, 2, B, H] -> forward as-is, backward time-flipped back
     y = jnp.concatenate(

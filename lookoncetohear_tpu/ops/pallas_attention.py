@@ -58,7 +58,7 @@ def attention_step_pallas(q_t: jnp.ndarray, k_t: jnp.ndarray,
     b, dk = q_t.shape
     dv = v_t.shape[-1]
     wm1 = k_buf.shape[1]
-    scale = 1.0 / np.sqrt(dk)
+    scale = float(1.0 / np.sqrt(dk))
 
     pad = (-b) % _BB
     if pad:

@@ -120,7 +120,7 @@ def fb_encode(x: jnp.ndarray, n_fft: int, stride: int) -> jnp.ndarray:
     channels, matching the asteroid Encoder output layout consumed at
     reference tfgridnet_causal.py:229-233.
     """
-    fb = stft_filterbank(n_fft, n_fft, stride)  # [2F, K]
+    fb = stft_filterbank(n_fft, n_fft, stride).astype(x.dtype)  # [2F, K]
     frames = frame_signal(x, n_fft, stride)  # [..., T, K]
     spec = jnp.einsum("...tk,fk->...ft", frames, fb)
     return spec
@@ -128,7 +128,7 @@ def fb_encode(x: jnp.ndarray, n_fft: int, stride: int) -> jnp.ndarray:
 
 def fb_encode_frames(frames: jnp.ndarray, n_fft: int, stride: int) -> jnp.ndarray:
     """Analysis on pre-framed audio: [..., T, K] -> [..., 2F, T]."""
-    fb = stft_filterbank(n_fft, n_fft, stride)
+    fb = stft_filterbank(n_fft, n_fft, stride).astype(frames.dtype)
     return jnp.einsum("...tk,fk->...ft", frames, fb)
 
 
@@ -137,14 +137,14 @@ def fb_decode(spec: jnp.ndarray, n_fft: int, stride: int) -> jnp.ndarray:
 
     spec: [..., 2F, T] -> [..., (T-1)*stride + n_fft] audio.
     """
-    fb = stft_filterbank(n_fft, n_fft, stride)  # [2F, K]
+    fb = stft_filterbank(n_fft, n_fft, stride).astype(spec.dtype)  # [2F, K]
     frames = jnp.einsum("...ft,fk->...tk", spec, fb)
     return overlap_add(frames, stride)
 
 
 def fb_decode_frame(spec_frame: jnp.ndarray, n_fft: int, stride: int) -> jnp.ndarray:
     """Single-frame synthesis: [..., 2F] -> [..., n_fft] (no OLA)."""
-    fb = stft_filterbank(n_fft, n_fft, stride)
+    fb = stft_filterbank(n_fft, n_fft, stride).astype(spec_frame.dtype)
     return jnp.einsum("...f,fk->...k", spec_frame, fb)
 
 

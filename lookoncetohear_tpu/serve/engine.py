@@ -45,11 +45,14 @@ def _mask_tree(tree, keep_mask):
 class StreamingEngine:
     def __init__(self, model, params, max_streams: int = 64,
                  dtype=jnp.float32, kv_dtype=None) -> None:
-        """kv_dtype=jnp.bfloat16 halves the K/V ring-buffer HBM
-        traffic (the serving step's dominant cost) at negligible
-        quality cost; default keeps full precision."""
+        """dtype=jnp.bfloat16 runs the whole step (params, activations,
+        state) in bf16 — halves every HBM stream for a measured
+        ~0.05 dB SI-SNRi cost on a trained flagship checkpoint
+        (PERF.md); kv_dtype further overrides just the K/V ring-buffer
+        storage. Default keeps full precision."""
         self.model = model
-        self.params = params
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype), params)
         self.n = max_streams
         self.dtype = dtype
         self.chunk = model.stft_chunk_size
