@@ -143,13 +143,15 @@ class EmbedTask(Task):
         inputs, targets = batch
         neg = targets.get("embedding_neg", [])
         if isinstance(neg, (list, tuple)):
-            neg = jnp.stack([jnp.asarray(x) for x in neg]) if neg \
-                else jnp.zeros((0,) + np.asarray(
-                    targets["embedding_gt"]).shape)
+            # batch-major [B, K, 1, E] so the leading axis shards over
+            # the data mesh like every other field
+            neg = np.stack([np.asarray(x) for x in neg], axis=1) if neg \
+                else np.zeros(
+                    np.asarray(targets["embedding_gt"]).shape[:1] + (0,))
         return {
             "enrollments": inputs["enrollments"],
             "embedding_gt": targets["embedding_gt"],
-            "embedding_neg": neg,  # [K, B, 1, E]
+            "embedding_neg": neg,  # [B, K, 1, E]
         }
 
     def init_params(self, rng, batch):
@@ -167,11 +169,12 @@ class EmbedTask(Task):
         ones = jnp.ones(emb.shape[0])
         pos = cosine_embedding_loss(emb, emb_gt, ones, self.margin)
         neg = jnp.asarray(0.0)
-        if batch["embedding_neg"].shape[0]:
-            def one_neg(neg_k):
+        if batch["embedding_neg"].shape[1]:
+            def one_neg(neg_k):  # neg_k: [B, 1, E]
                 return cosine_embedding_loss(emb, neg_k[:, 0], -ones,
                                              self.margin)
-            neg = jnp.sum(jax.vmap(one_neg)(batch["embedding_neg"]))
+            neg = jnp.sum(jax.vmap(one_neg, in_axes=1)(
+                batch["embedding_neg"]))
         use_neg = (jnp.asarray(epoch) >= self.neg_loss_start_epoch)
         loss = pos + jnp.where(use_neg, neg, 0.0)
         return loss, {"loss": loss, "pos_loss": pos}
