@@ -142,3 +142,44 @@ class TestVariants:
         inputs, targets = ds[0]
         assert inputs["enrollments"].shape == (1, 1, SR * 5)
         assert inputs["embeds"].shape == (1, 256)
+
+
+class TestMotionDataset:
+    def test_end_to_end_with_motion_sim(self, corpus, tmp_path):
+        """MixLibriSpeechMotion: C++ moving-source renderer inside the
+        dataset path."""
+        import h5py
+        from lookoncetohear_tpu.data.dataset_variants import \
+            MixLibriSpeechMotion
+        # motion-capable SOFA fixture (needs SourcePosition)
+        sofa_dir = tmp_path / "msofa"
+        sofa_dir.mkdir()
+        irs = np.zeros((8, 2, 16))
+        pos = np.zeros((8, 3))
+        for m in range(8):
+            irs[m, 0, m % 4] = 1.0
+            irs[m, 1, (m + 1) % 5] = 1.0
+            pos[m] = [m * 45.0 - 180.0, 0.0, 1.0]
+        p = str(sofa_dir / "m.sofa")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("Data.IR", data=irs)
+            f.create_dataset("Data.SamplingRate",
+                             data=np.array([SR * 1.0]))
+            d = f.create_dataset("SourcePosition", data=pos)
+            d.attrs["Type"] = "spherical"
+        listfile = str(sofa_dir / "list.txt")
+        with open(listfile, "w") as f:
+            f.write("m.sofa")
+
+        ds = MixLibriSpeechMotion(
+            fg_dir=corpus["fg"], bg_dir=corpus["bg"],
+            embed_dir=corpus["embed"], jams_dir=corpus["jams"],
+            hrtf_list=listfile, dset="val", sr=SR)
+        inputs, targets = ds[0]
+        n = SR * 5
+        assert inputs["mixture"].shape == (2, n)
+        assert targets["target"].shape == (2, n)
+        assert np.isfinite(inputs["mixture"]).all()
+        assert np.abs(inputs["mixture"]).max() > 0
+        # clean-enroll scheme: enrollment from clean utterances
+        assert inputs["enrollments"].shape[0] == 1
