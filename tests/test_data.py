@@ -271,3 +271,19 @@ class TestPrerender:
         batches = list(dl)
         assert len(batches) == 2
         assert batches[0][0]["mixture"].shape[0] == 2
+
+
+class TestGoldenSamples:
+    """Frozen checksums of the deterministic synthetic pipeline —
+    catches accidental cross-round changes to fixture generation
+    (which would silently invalidate recorded training results)."""
+
+    def test_val_sample0_checksums(self):
+        ds = SyntheticTSEDataset(dset="val", n_samples=2, duration=0.5)
+        i, t = ds[0]
+        assert abs(float(np.abs(i["mixture"]).sum())
+                   - 2186.931884765625) < 1e-2
+        assert abs(float(np.abs(t["target"]).sum())
+                   - 1350.3377685546875) < 1e-2
+        assert abs(float(t["embedding_gt"].sum())
+                   - 1.137817144393921) < 1e-4
