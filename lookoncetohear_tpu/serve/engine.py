@@ -144,19 +144,22 @@ class StreamingEngine:
     # -- benchmarking ---------------------------------------------------------
 
     def benchmark(self, n_iters: int = 100, warmup: int = 20) -> dict:
-        """Steady-state per-chunk latency (blocking each step — true
-        latency, not pipelined throughput) + derived RTF."""
+        """Steady-state per-chunk latency (blocking each step on a
+        host FETCH — `block_until_ready` can return early behind
+        proxied device transports, see PERF.md) + derived RTF. Note
+        per-step host round-trip latency is included; for pure device
+        time use profiling.device_step_time or the bench.py scan."""
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal(
             (self.n, self.n_mics, self.chunk)), self.dtype)
         for _ in range(warmup):
             y = self.step(x)
-        jax.block_until_ready(y)
+        np.asarray(y)
         lat = []
         for _ in range(n_iters):
             t0 = time.perf_counter()
             y = self.step(x)
-            jax.block_until_ready(y)
+            np.asarray(y[0, 0, -1])  # forced fetch = true barrier
             lat.append(time.perf_counter() - t0)
         lat = np.asarray(lat)
         chunk_s = self.chunk / 16000.0
