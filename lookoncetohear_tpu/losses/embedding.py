@@ -18,17 +18,23 @@ def _cos(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 
 
 def cosine_embedding_loss(emb: jnp.ndarray, other: jnp.ndarray,
-                          y: jnp.ndarray, margin: float = 0.0) -> jnp.ndarray:
-    """torch.nn.CosineEmbeddingLoss (reduction='mean').
+                          y: jnp.ndarray, margin: float = 0.0,
+                          reduction: str = "mean") -> jnp.ndarray:
+    """torch.nn.CosineEmbeddingLoss.
 
     emb, other: [B, E]; y: [B] of +1 / -1.
     loss_i = 1 - cos(e_i, o_i)              if y_i == 1
            = max(0, cos(e_i, o_i) - margin) if y_i == -1
+    reduction: 'mean' -> scalar; 'none' -> per-sample [B] (lets callers
+    apply sample weights, e.g. masked eval batches).
     """
     cos = _cos(emb, other)
     pos = 1.0 - cos
     neg = jnp.maximum(0.0, cos - margin)
-    return jnp.mean(jnp.where(y > 0, pos, neg))
+    per_sample = jnp.where(y > 0, pos, neg)
+    if reduction == "none":
+        return per_sample
+    return jnp.mean(per_sample)
 
 
 def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

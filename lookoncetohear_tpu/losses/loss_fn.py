@@ -41,9 +41,12 @@ def _sisdr_with_sum(est, gt, noise_estimate, mixture):
             + jnp.mean(jnp.abs(noise + est - mix)))
 
 
-def _pit_sisdr(est, gt, est1, est2, gt1, gt2):
+def _pit_sisdr(est, gt, est1, est2, gt1, gt2, reduce=True):
     """2-source PIT SI-SDR returning reordered estimates (reference
-    sisdr_with_pit.py:7-30). est1/est2/gt1/gt2: (B, C, T)."""
+    sisdr_with_pit.py:7-30). est1/est2/gt1/gt2: (B, C, T).
+
+    reduce=False returns the loss per sample [B] (mean over channels)
+    instead of the scalar mean, for weighted/masked evaluation."""
     b, c, t = est1.shape
     e = jnp.stack([est1, est2], axis=2).reshape(b * c, 2, t)
     g = jnp.stack([gt1, gt2], axis=2).reshape(b * c, 2, t)
@@ -53,7 +56,9 @@ def _pit_sisdr(est, gt, est1, est2, gt1, gt2):
     loss_sw = pw[:, 1, 0] + pw[:, 0, 1]
     swap = (loss_sw < loss_id)[:, None, None]
     reordered = jnp.where(swap, e[:, ::-1], e)
-    loss = jnp.mean(jnp.minimum(loss_id, loss_sw)) / 2.0
+    per_sample = jnp.mean(
+        jnp.minimum(loss_id, loss_sw).reshape(b, c), axis=1) / 2.0
+    loss = jnp.mean(per_sample) if reduce else per_sample
     reordered = reordered.reshape(b, c, 2, t)
     return loss, reordered[:, :, 0], reordered[:, :, 1]
 

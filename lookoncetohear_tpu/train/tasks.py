@@ -28,6 +28,18 @@ from lookoncetohear_tpu.losses import cosine_embedding_loss, si_snr, snr
 from lookoncetohear_tpu.metrics.improvement import metric_improvement
 
 
+def masked_mean(per_sample: jnp.ndarray, mask) -> jnp.ndarray:
+    """Mean of per-sample values [B], excluding padded rows.
+
+    Eval batches may arrive padded to a fixed shape (the final ragged
+    batch of a split, reference evaluates every sample —
+    src/trainer.py:86); `batch["_mask"]` is 1.0 for real rows and 0.0
+    for padding. mask=None (training) reduces to a plain mean."""
+    if mask is None:
+        return jnp.mean(per_sample)
+    return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 class Task:
     monitor: str
     monitor_mode: str
@@ -73,6 +85,11 @@ class TSETask(Task):
         }
         if self.dir_loss:
             out["tgt_shift"] = inputs["tgt_shift"]
+        if isinstance(inputs, dict) and "enrollments_id" in inputs:
+            # speaker ids ride along for the val-epoch embedding tables
+            # (reference ts_hear_embed_pl_module.py:109-112)
+            out["enrollments_id"] = np.asarray(
+                inputs["enrollments_id"], np.int32)
         return out
 
     def init_params(self, rng, batch):
@@ -88,6 +105,7 @@ class TSETask(Task):
 
     def loss_and_metrics(self, params, batch, epoch):
         target = batch["target"]
+        mask = batch.get("_mask")
         metrics = {}
         if self.dir_loss:
             # auxiliary direction-of-arrival CE (reference
@@ -98,27 +116,37 @@ class TSETask(Task):
                 batch["embedding_gt"], dir=True)
             gt_idx = self.model._shifts_to_indices(batch["tgt_shift"])
             logits = jnp.mean(dir_logits, axis=1)  # [B, n_bins]
-            d_loss = jnp.mean(
+            d_loss = masked_mean(
                 optax.softmax_cross_entropy_with_integer_labels(
-                    logits, gt_idx))
+                    logits, gt_idx), mask)
             n_bins = logits.shape[-1]
             pred_deg = jnp.argmax(logits, -1) * (180.0 / n_bins)
             gt_deg = gt_idx * (180.0 / n_bins)
             metrics["dir_loss"] = d_loss
-            metrics["dir_error"] = jnp.mean(jnp.abs(pred_deg - gt_deg))
+            metrics["dir_error"] = masked_mean(
+                jnp.abs(pred_deg - gt_deg), mask)
         else:
             out = self.forward(params, batch["mixture"],
                                batch["embedding_gt"])
             d_loss = 0.0
-        loss = -jnp.mean(snr(out, target)) + d_loss
+        # snr -> [B, C]; mean channels -> per-sample [B] -> masked mean
+        loss = -masked_mean(jnp.mean(snr(out, target), axis=-1),
+                            mask) + d_loss
         mix = batch["mixture"][:, jnp.array([0, -1])]
         metrics.update({
             "loss": loss,
-            "snr_i": jnp.mean(metric_improvement(snr, mix, out, target)),
-            "si_snr_i": jnp.mean(
-                metric_improvement(si_snr, mix, out, target)),
+            "snr_i": masked_mean(
+                metric_improvement(snr, mix, out, target), mask),
+            "si_snr_i": masked_mean(
+                metric_improvement(si_snr, mix, out, target), mask),
         })
         return loss, metrics
+
+    def log_embeddings(self, params, batch, first_epoch=False) -> dict:
+        """Embedding-table rows for the val-epoch logger (reference
+        ts_hear_embed_pl_module.py:109-112 logs the conditioning
+        embedding per speaker)."""
+        return {"": batch["embedding_gt"][:, 0]}
 
 
 class EmbedTask(Task):
@@ -148,11 +176,15 @@ class EmbedTask(Task):
             neg = np.stack([np.asarray(x) for x in neg], axis=1) if neg \
                 else np.zeros(
                     np.asarray(targets["embedding_gt"]).shape[:1] + (0,))
-        return {
+        out = {
             "enrollments": inputs["enrollments"],
             "embedding_gt": targets["embedding_gt"],
             "embedding_neg": neg,  # [B, K, 1, E]
         }
+        if isinstance(inputs, dict) and "enrollments_id" in inputs:
+            out["enrollments_id"] = np.asarray(
+                inputs["enrollments_id"], np.int32)
+        return out
 
     def init_params(self, rng, batch):
         b = self.device_batch(batch)
@@ -166,18 +198,30 @@ class EmbedTask(Task):
     def loss_and_metrics(self, params, batch, epoch):
         emb = self.forward(params, batch["enrollments"])
         emb_gt = batch["embedding_gt"][:, 0]
+        mask = batch.get("_mask")
         ones = jnp.ones(emb.shape[0])
-        pos = cosine_embedding_loss(emb, emb_gt, ones, self.margin)
+        pos = masked_mean(cosine_embedding_loss(
+            emb, emb_gt, ones, self.margin, reduction="none"), mask)
         neg = jnp.asarray(0.0)
         if batch["embedding_neg"].shape[1]:
             def one_neg(neg_k):  # neg_k: [B, 1, E]
-                return cosine_embedding_loss(emb, neg_k[:, 0], -ones,
-                                             self.margin)
+                return masked_mean(cosine_embedding_loss(
+                    emb, neg_k[:, 0], -ones, self.margin,
+                    reduction="none"), mask)
             neg = jnp.sum(jax.vmap(one_neg, in_axes=1)(
                 batch["embedding_neg"]))
         use_neg = (jnp.asarray(epoch) >= self.neg_loss_start_epoch)
         loss = pos + jnp.where(use_neg, neg, 0.0)
         return loss, {"loss": loss, "pos_loss": pos}
+
+    def log_embeddings(self, params, batch, first_epoch=False) -> dict:
+        """Predicted embeddings each val epoch; GT table once at epoch 0
+        (reference binaural_embed_pl_module.py:105-122). `first_epoch`
+        is a static Python bool (two jit cache entries at most)."""
+        out = {"": self.forward(params, batch["enrollments"])}
+        if first_epoch:
+            out["gt"] = batch["embedding_gt"][:, 0]
+        return out
 
 
 class SeparationTask(Task):
@@ -214,40 +258,52 @@ class SeparationTask(Task):
     def loss_and_metrics(self, params, batch, epoch):
         from lookoncetohear_tpu.losses.loss_fn import _pit_sisdr
         out = self.model.apply({"params": params}, batch["mixture"])
+        mask = batch.get("_mask")
         # out [B, 2, T]: source estimates; PIT over both orderings
         est1, est2 = out[:, :1], out[:, 1:]
-        loss, o1, o2 = _pit_sisdr(None, None, est1, est2,
-                                  batch["target1"][:, :1],
-                                  batch["target2"][:, :1])
-        sisdr1 = jnp.mean(si_snr(o1[:, 0], batch["target1"][:, 0]))
+        per_sample, o1, o2 = _pit_sisdr(None, None, est1, est2,
+                                        batch["target1"][:, :1],
+                                        batch["target2"][:, :1],
+                                        reduce=False)
+        loss = masked_mean(per_sample, mask)
+        sisdr1 = masked_mean(si_snr(o1[:, 0], batch["target1"][:, 0]),
+                             mask)
         return loss, {"loss": loss, "si_sdr": sisdr1}
 
 
 class EmbeddingTableLogger:
     """The reference's wandb embedding-table callback (reference
-    ts_hear_embed_pl_module.py:148-160) as a CSV dump: every val epoch,
-    write (speaker_id, e0..eN) rows to run_dir/embeddings/."""
+    ts_hear_embed_pl_module.py:148-160, binaural_embed_pl_module.py:
+    105-122) as a CSV dump: every val epoch, write (speaker_id,
+    e0..eN) rows to run_dir/embeddings/. Tables are named: "" is the
+    main table (-> `{split}_epoch{N}.csv`), any other name (e.g. "gt")
+    becomes `{split}_{name}_epoch{N}.csv`."""
 
     def __init__(self) -> None:
-        self.samples: list = []
+        self.samples: dict = {}
 
-    def add(self, spk_ids, embeddings) -> None:
+    def add(self, spk_ids, embeddings, name: str = "") -> None:
+        rows = self.samples.setdefault(name, [])
         for s, e in zip(np.asarray(spk_ids).reshape(-1),
                         np.asarray(embeddings)):
-            self.samples.append((int(s), np.asarray(e)))
+            rows.append((int(s), np.asarray(e)))
 
     def flush(self, run_dir: str, epoch: int, key: str = "val") -> None:
         import csv
         import os
-        if not self.samples:
-            return
         d = os.path.join(run_dir, "embeddings")
-        os.makedirs(d, exist_ok=True)
-        n = self.samples[0][1].shape[-1]
-        with open(os.path.join(d, f"{key}_epoch{epoch}.csv"), "w",
-                  newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["speaker_id"] + [f"embed_{i}" for i in range(n)])
-            for s, e in self.samples:
-                w.writerow([s] + e.tolist())
+        for name, rows in self.samples.items():
+            if not rows:
+                continue
+            os.makedirs(d, exist_ok=True)
+            stem = f"{key}_epoch{epoch}" if not name else \
+                f"{key}_{name}_epoch{epoch}"
+            n = rows[0][1].shape[-1]
+            with open(os.path.join(d, f"{stem}.csv"), "w",
+                      newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["speaker_id"]
+                           + [f"embed_{i}" for i in range(n)])
+                for s, e in rows:
+                    w.writerow([s] + e.tolist())
         self.samples.clear()

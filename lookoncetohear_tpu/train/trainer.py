@@ -65,7 +65,8 @@ class MetricsLogger:
 class Trainer:
     def __init__(self, task, run_dir: str, epochs: int = 100,
                  mesh=None, grad_clip: float | None = None,
-                 limit_batches: float = 1.0, seed: int = 42) -> None:
+                 limit_batches: float = 1.0, seed: int = 42,
+                 table_logger=None) -> None:
         self.task = task
         self.run_dir = run_dir
         self.epochs = epochs
@@ -73,6 +74,9 @@ class Trainer:
         self.grad_clip = grad_clip
         self.limit_batches = limit_batches
         self.seed = seed
+        # the reference's pl_logger callback (embedding tables each val
+        # epoch, reference src/trainer.py:30)
+        self.table_logger = table_logger
         os.makedirs(run_dir, exist_ok=True)
         self.logger = MetricsLogger(run_dir)
         self.ckpts = CheckpointManager(
@@ -111,6 +115,9 @@ class Trainer:
 
         self._train_step = train_step
         self._eval_step = eval_step
+        if hasattr(task, "log_embeddings"):
+            self._log_embeddings = jax.jit(
+                task.log_embeddings, static_argnums=(2,))
 
     def _set_lr(self, opt_state, lr: float):
         """Write the plateau scheduler's LR into the optax state.
@@ -129,20 +136,52 @@ class Trainer:
 
     # -- data placement ---------------------------------------------------
 
-    def _device_batches(self, dl, epoch: int):
+    def _device_batches(self, dl, epoch: int, pad_to: int | None = None):
+        """Yield (device_batch, n_valid) pairs.
+
+        With pad_to set (eval), ragged batches are padded up to a fixed
+        size — a multiple of the data-mesh axis — by repeating the last
+        row, with `batch["_mask"]` zero on the padding so the task's
+        masked means exclude it. No eval sample is ever dropped
+        (reference evaluates full splits, src/trainer.py:86)."""
         limit = self.limit_batches
         n = len(dl)
         max_batches = n if limit >= 1.0 else max(1, int(n * limit))
-        if isinstance(limit, int) and limit > 1:
-            max_batches = min(n, limit)
         sh = batch_sharding(self.mesh)
+
+        def pad(db):
+            sizes = {v.shape[0] for v in db.values()
+                     if hasattr(v, "shape") and v.ndim > 0}
+            (b,) = sizes
+            mask = np.zeros(pad_to, np.float32)
+            mask[:b] = 1.0
+            if b < pad_to:
+                db = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad_to - b, axis=0)])
+                    if hasattr(v, "shape") and v.ndim > 0 else v
+                    for k, v in db.items()}
+            db["_mask"] = mask
+            return db, b
 
         def gen():
             for i, batch in enumerate(dl):
                 if i >= max_batches:
                     break
-                yield self.task.device_batch(batch)
+                db = self.task.device_batch(batch)
+                if pad_to is not None:
+                    db, b = pad(db)
+                else:
+                    b = next(v.shape[0] for v in db.values()
+                             if hasattr(v, "shape") and v.ndim > 0)
+                yield db, b
         return prefetch_to_device(gen(), size=2, sharding=sh)
+
+    def _eval_pad_target(self, dl) -> int:
+        """Fixed eval batch shape: the loader's batch size rounded up
+        to a multiple of the data-mesh axis, so one compiled eval step
+        serves every batch including the ragged tail."""
+        axis = self.mesh.shape.get("data", 1)
+        return -(-dl.batch_size // axis) * axis
 
     def _init_state(self, train_dl):
         batch0 = next(iter(train_dl))
@@ -160,15 +199,31 @@ class Trainer:
     # -- main loops -------------------------------------------------------
 
     def _run_eval(self, params, dl, epoch: int, split: str = "val"):
+        """Sample-weighted metric means over the full split: per-batch
+        masked means are re-weighted by the true sample count, so a
+        ragged tail batch neither drops samples nor biases the mean."""
         sums: dict = {}
-        count = 0
-        for batch in self._device_batches(dl, epoch):
-            metrics = self._eval_step(params, batch, jnp.asarray(epoch))
+        total = 0
+        pad_to = self._eval_pad_target(dl)
+        ep = jnp.asarray(epoch)
+        for i, (batch, n) in enumerate(
+                self._device_batches(dl, epoch, pad_to=pad_to)):
+            metrics = self._eval_step(params, batch, ep)
+            if (self.table_logger is not None and i % 5 == 0
+                    and hasattr(self, "_log_embeddings")
+                    and "enrollments_id" in batch):
+                tables = jax.device_get(self._log_embeddings(
+                    params, batch, epoch == 0))
+                ids = np.asarray(batch["enrollments_id"])[:n, 0]
+                for name, emb in tables.items():
+                    self.table_logger.add(ids, np.asarray(emb)[:n], name)
             metrics = jax.device_get(metrics)
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        return {f"{split}/{k}": v / max(count, 1)
+                sums[k] = sums.get(k, 0.0) + float(v) * n
+            total += n
+        if self.table_logger is not None:
+            self.table_logger.flush(self.run_dir, epoch, split)
+        return {f"{split}/{k}": v / max(total, 1)
                 for k, v in sums.items()}
 
     def fit(self, train_dl: DataLoader, val_dl: DataLoader,
@@ -205,7 +260,7 @@ class Trainer:
             sums: dict = {}
             n_batches = 0
             ep = jnp.asarray(epoch)
-            for batch in self._device_batches(train_dl, epoch):
+            for batch, _n in self._device_batches(train_dl, epoch):
                 params, opt_state, metrics = self._train_step(
                     params, opt_state, batch, ep)
                 n_batches += 1
@@ -265,19 +320,29 @@ def main(args, hparams) -> None:
 
     task = utils.import_attr(hparams.pl_module)(**hparams.pl_module_args)
 
+    table_logger = None
+    if getattr(hparams, "pl_logger", None):
+        # reference src/trainer.py:30: callbacks = [import_attr(
+        # hparams.pl_logger)()] — the embedding-table val-epoch logger
+        table_logger = utils.import_attr(hparams.pl_logger)()
+
     mesh = data_mesh()
     trainer = Trainer(
         task, args.run_dir, epochs=hparams.epochs, mesh=mesh,
         grad_clip=getattr(hparams, "grad_clip", None),
-        limit_batches=args.frac)
+        limit_batches=args.frac, table_logger=table_logger)
 
     num_workers = min(getattr(hparams, "num_workers", 4), os.cpu_count())
 
     def make_dl(which, batch_size, shuffle):
         ds_cls = utils.import_attr(getattr(hparams, f"{which}_dataset"))
         ds = ds_cls(**getattr(hparams, f"{which}_data_args"))
+        # val/test keep the ragged tail (drop_last only for training);
+        # the eval loop pads + masks it (reference evaluates every
+        # sample of a split, src/trainer.py:86)
         return DataLoader(ds, batch_size=batch_size, shuffle=shuffle,
-                          seed=42, num_workers=num_workers)
+                          seed=42, num_workers=num_workers,
+                          drop_last=(which == "train"))
 
     if args.test:
         test_dl = make_dl("test", hparams.eval_batch_size, False)

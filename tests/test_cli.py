@@ -25,8 +25,11 @@ TINY_CFG = {
                         "embed_dim": 32},
     "val_dataset":
         "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
-    "val_data_args": {"dset": "val", "n_samples": 8, "n_speakers": 4,
+    # 11 val samples with eval batch 8: the ragged tail exercises the
+    # pad+mask eval path end to end
+    "val_data_args": {"dset": "val", "n_samples": 11, "n_speakers": 4,
                       "duration": 0.25, "embed_dim": 32},
+    "pl_logger": "src.ts_hear_embed_pl_module.Logger",
     "test_dataset":
         "lookoncetohear_tpu.data.synthetic.SyntheticTSEDataset",
     "test_data_args": {"dset": "test", "n_samples": 8, "n_speakers": 4,
@@ -60,6 +63,10 @@ class TestCLI:
             env=_env(), capture_output=True, text=True, timeout=900)
         assert r.returncode == 0, r.stderr[-3000:]
         assert os.path.isdir(os.path.join(run_dir, "last.ckpt"))
+        # pl_logger wrote the val-epoch embedding table (reference
+        # ts_hear_embed_pl_module.py:148-160)
+        assert os.path.exists(
+            os.path.join(run_dir, "embeddings", "val_epoch0.csv"))
 
         # run_dir collision guard: rerun without --resume fails fast
         r2 = subprocess.run(
