@@ -84,7 +84,16 @@ class HeadConv1x1(nn.Module):
 
 
 class GridNetBlockOffline(nn.Module):
-    """espnet2 GridNetBlock (offline, bidirectional, full attention)."""
+    """espnet2 GridNetBlock (offline, bidirectional, full attention).
+
+    `remat_stages` checkpoints the three stages (intra-freq BiLSTM,
+    inter-time BiLSTM, TxT attention) SEPARATELY, so during the block's
+    backward only one stage's activations are live at a time. This is
+    what lets the enrollment net train at the reference geometry
+    (batch 8 x 5 s, configs/embed.json:94-97) inside 16 GB HBM — the
+    unfold outputs alone are ~0.6 GB per stage at that shape. Stage
+    remats use method-level nn.remat so parameter paths (and therefore
+    reference-checkpoint conversion, convert.py) are unchanged."""
 
     emb_dim: int
     emb_ks: int
@@ -94,6 +103,7 @@ class GridNetBlockOffline(nn.Module):
     n_head: int = 4
     approx_qk_dim: int = 512
     eps: float = 1e-5
+    remat_stages: bool = True
 
     @property
     def e_dim(self) -> int:
@@ -122,32 +132,33 @@ class GridNetBlockOffline(nn.Module):
                        for _ in range(self.n_head)]
         self.attn_concat_proj = HeadConv1x1(c, self.n_freqs, eps=self.eps)
 
-    def __call__(self, x):
-        """x: [B, C, T, F] -> [B, C, T, F]."""
-        b, c, t, f = x.shape
+    def _intra(self, inp):
+        """intra (frequency) BiLSTM stage: [B, C, T, F] -> same."""
+        b, c, t, f = inp.shape
         k = self.emb_ks
-
-        # ---- intra (frequency) BiLSTM --------------------------------
-        inp = x
         y = self.intra_norm(inp)  # [B, C, T, F]
         y = y.transpose(0, 2, 1, 3).reshape(b * t, c, f)  # [BT, C, F]
         y = _unfold_k(y, k)  # [BT, F-k+1, C*k]
         y, _ = self.intra_rnn(y)  # [BT, F-k+1, 2H]
         y = self.intra_linear(y)  # [BT, F, C]
         y = y.reshape(b, t, f, c).transpose(0, 3, 1, 2)  # [B, C, T, F]
-        y = y + inp
+        return y + inp
 
-        # ---- inter (time) BiLSTM -------------------------------------
-        inp2 = y
-        z = self.inter_norm(y)
+    def _inter(self, inp2):
+        """inter (time) BiLSTM stage: [B, C, T, F] -> same."""
+        b, c, t, f = inp2.shape
+        k = self.emb_ks
+        z = self.inter_norm(inp2)
         z = z.transpose(0, 3, 1, 2).reshape(b * f, c, t)  # [BF, C, T]
         z = _unfold_k(z, k)  # [BF, T-k+1, C*k]
         z, _ = self.inter_rnn(z)
         z = self.inter_linear(z)  # [BF, T, C]
         z = z.reshape(b, f, t, c).transpose(0, 3, 2, 1)  # [B, C, T, F]
-        z = z + inp2
+        return z + inp2
 
-        # ---- full multi-head time attention --------------------------
+    def _attn(self, z):
+        """full multi-head time attention stage: [B, C, T, F] -> same."""
+        b, c, t, f = z.shape
         e, nh = self.e_dim, self.n_head
         vd = c // nh
         qs = jnp.stack([m(z) for m in self.attn_q], axis=1)  # [B,nh,E,T,F]
@@ -166,6 +177,15 @@ class GridNetBlockOffline(nn.Module):
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, nh * vd, t, f)
         out = self.attn_concat_proj(out)  # [B, C, T, F]
         return out + z
+
+    def __call__(self, x):
+        """x: [B, C, T, F] -> [B, C, T, F]."""
+        if self.remat_stages:
+            intra = nn.remat(GridNetBlockOffline._intra)
+            inter = nn.remat(GridNetBlockOffline._inter)
+            attn = nn.remat(GridNetBlockOffline._attn)
+            return attn(self, inter(self, intra(self, x)))
+        return self._attn(self._inter(self._intra(x)))
 
 
 class OfflineTFGridNetTrunk(nn.Module):
@@ -199,14 +219,17 @@ class OfflineTFGridNetTrunk(nn.Module):
                 1.0 / 3.0, "fan_in", "uniform"),
             bias_init=_torch_linear_init(2 * self.n_imics * 9))
         self.conv_norm = GroupNorm1(d, eps=self.eps)
-        block_cls = nn.remat(GridNetBlockOffline) if self.remat \
-            else GridNetBlockOffline
+        # remat at STAGE granularity inside each block (see
+        # GridNetBlockOffline.remat_stages) rather than wrapping whole
+        # blocks: stage boundaries [B, C, T, F] are cheap to store and
+        # the backward never recomputes a stage twice.
         self.blocks = [
-            block_cls(
+            GridNetBlockOffline(
                 emb_dim=d, emb_ks=self.emb_ks, emb_hs=self.emb_hs,
                 n_freqs=self.n_freqs, hidden=self.lstm_hidden_units,
                 n_head=self.attn_n_head,
-                approx_qk_dim=self.attn_approx_qk_dim, eps=self.eps)
+                approx_qk_dim=self.attn_approx_qk_dim, eps=self.eps,
+                remat_stages=self.remat)
             for _ in range(self.n_layers)
         ]
 

@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -27,6 +28,46 @@ class LSTMParams(NamedTuple):
     w_hh: jnp.ndarray  # [4H, H]
     b_ih: jnp.ndarray  # [4H]
     b_hh: jnp.ndarray  # [4H]
+
+
+def _chunk_len(t: int, min_len: int = 256) -> int | None:
+    """Pick a time-chunk length for gradient-checkpointed scans.
+
+    Long scans store O(T) per-step residuals for backward; chunking the
+    scan (outer scan over chunks, inner rematted scan) cuts that to
+    O(T/S) chunk-boundary carries + one chunk's residuals, the standard
+    sqrt(T) checkpointing trade. Returns the smallest divisor of `t`
+    >= sqrt(t) (so shapes stay static), or None when t < min_len (not
+    worth the recompute) or t is awkwardly prime."""
+    if t < min_len:
+        return None
+    s = int(np.ceil(np.sqrt(t)))
+    for cand in range(s, t // 2 + 1):
+        if t % cand == 0:
+            return cand
+    return None
+
+
+def _chunked_scan(step, carry0, xs, reverse: bool = False):
+    """lax.scan with sqrt(T) gradient checkpointing over time.
+
+    Equivalent numerics to a flat scan; backward recomputes one chunk
+    at a time instead of storing every step's residuals. Used by the
+    full-utterance training paths (the offline blocks' T~1250-step
+    inter scans were the embed net's OOM driver at reference geometry)."""
+    t = xs.shape[0]
+    chunk = _chunk_len(t)
+    if chunk is None:
+        return jax.lax.scan(step, carry0, xs, reverse=reverse)
+    n = t // chunk
+    xs_c = xs.reshape((n, chunk) + xs.shape[1:])
+
+    @jax.remat
+    def chunk_fn(carry, xc):
+        return jax.lax.scan(step, carry, xc, reverse=reverse)
+
+    carry, ys = jax.lax.scan(chunk_fn, carry0, xs_c, reverse=reverse)
+    return carry, ys.reshape((t,) + ys.shape[2:])
 
 
 def _lstm_scan(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray,
@@ -39,6 +80,10 @@ def _lstm_scan(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray,
     Returns (ys [B, T, H], (hT, cT)).
     """
 
+    # remat the step: backward stores only the per-step (h, c) carries
+    # and recomputes the gate nonlinearities — the i/f/g/o activations
+    # are 4H wide per step and dominate scan-backward memory otherwise
+    @jax.remat
     def step(carry, xt):
         h, c = carry
         gates = xt + h @ w_hh_t  # [B, 4H]
@@ -52,7 +97,7 @@ def _lstm_scan(x_proj: jnp.ndarray, w_hh_t: jnp.ndarray,
         return (h, c), h
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
-    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    (h_t, c_t), ys = _chunked_scan(step, (h0, c0), xs, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1), (h_t, c_t)
 
 
@@ -109,16 +154,29 @@ def lstm_apply_bidir(fwd: LSTMParams, bwd: LSTMParams, x: jnp.ndarray,
         h_t = ys[-1]  # [2, B, H]; cell state not exposed on this path
         c_t = h_t
     else:
+        # carries/emissions are [2B, *]: folding the direction axis
+        # into batch keeps the minor two dims large so the per-step
+        # residuals tile onto TPU (8,128) lanes pad-free (a [T,2,B,H]
+        # stack pads the size-2 axis 4x). The step itself is rematted:
+        # backward stores only (h, c) per step, not the 4H gates.
+        xp2 = xp.reshape(xp.shape[0], 2 * b, 4 * hidden)
+
+        @jax.remat
         def step(carry, xt):
-            h, c = carry  # [2, B, H]
-            gates = xt + jnp.einsum("dbh,dhg->dbg", h, w_hh)
+            h, c = carry  # [2B, H]
+            rec = jnp.einsum("dbh,dhg->dbg", h.reshape(2, b, hidden),
+                             w_hh).reshape(2 * b, 4 * hidden)
+            gates = xt + rec
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
             h = jax.nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
-        h0 = jnp.zeros((2, b, hidden), xp.dtype)
-        (h_t, c_t), ys = jax.lax.scan(step, (h0, h0), xp)
+        h0 = jnp.zeros((2 * b, hidden), xp.dtype)
+        (h_t2, c_t2), ys2 = _chunked_scan(step, (h0, h0), xp2)
+        h_t = h_t2.reshape(2, b, hidden)
+        c_t = c_t2.reshape(2, b, hidden)
+        ys = ys2.reshape(ys2.shape[0], 2, b, hidden)
     # ys: [T, 2, B, H] -> forward as-is, backward time-flipped back
     y = jnp.concatenate(
         [ys[:, 0].swapaxes(0, 1), ys[:, 1].swapaxes(0, 1)[:, ::-1]],
