@@ -133,6 +133,13 @@ class GridNetBlockStreaming(nn.Module):
             state["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd),
                                        kv_dtype)
             state["pos"] = jnp.zeros((), jnp.int32)
+            if kv_dtype == jnp.int8:
+                # per-slot symmetric quantization scales (streaming
+                # ring path only)
+                state["k_scale"] = jnp.zeros(
+                    (batch_size, nh, w - 1), jnp.float32)
+                state["v_scale"] = jnp.zeros(
+                    (batch_size, nh, w - 1), jnp.float32)
         return state
 
     def _heads(self, proj: AttnProjection, x, dim):
@@ -189,7 +196,19 @@ class GridNetBlockStreaming(nn.Module):
         k_buf = state["k_buf"].reshape(b * nh, w - 1, f * e)
         v_buf = state["v_buf"].reshape(b * nh, w - 1, f * vd)
 
-        if t == 1:
+        if t == 1 and state["k_buf"].dtype == jnp.int8:
+            # streaming with int8-quantized K/V history: quarter the
+            # HBM floor of the step (per-slot scales in the state)
+            ksc = state["k_scale"].reshape(b * nh, w - 1)
+            vsc = state["v_scale"].reshape(b * nh, w - 1)
+            out, nk, nks, nvb, nvs, new_state["pos"] = \
+                att_ops.local_attention_step_ring_int8(
+                    qf[:, 0], kf[:, 0], vf[:, 0], k_buf, ksc, v_buf,
+                    vsc, state["pos"])
+            new_state["k_scale"] = nks.reshape(b, nh, w - 1)
+            new_state["v_scale"] = nvs.reshape(b, nh, w - 1)
+            out = out[:, None]
+        elif t == 1:
             # streaming: ring-buffer update (1-slot write; attention
             # over an unordered window is permutation-invariant)
             out, nk, nvb, new_state["pos"] = \
@@ -198,6 +217,8 @@ class GridNetBlockStreaming(nn.Module):
                     state["pos"])
             out = out[:, None]
         elif self.chunk_causal:
+            assert state["k_buf"].dtype != jnp.int8, \
+                "int8 K/V is a streaming-step (t==1) serving feature"
             out, nk, nvb = att_ops.local_attention(
                 qf, kf, vf, w, k_buf.astype(qf.dtype),
                 v_buf.astype(vf.dtype))
@@ -260,6 +281,11 @@ def init_stream_state(batch_size: int, *, n_srcs: int, n_fft: int,
             s["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd),
                                    kv_dtype)
             s["pos"] = jnp.zeros((), jnp.int32)
+            if kv_dtype == jnp.int8:
+                s["k_scale"] = jnp.zeros(
+                    (batch_size, nh, w - 1), jnp.float32)
+                s["v_scale"] = jnp.zeros(
+                    (batch_size, nh, w - 1), jnp.float32)
         return s
 
     return {

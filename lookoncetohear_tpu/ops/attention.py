@@ -155,6 +155,74 @@ def local_attention_step_ring(q_t: jnp.ndarray, k_t: jnp.ndarray,
     return out, new_k, new_v, new_pos
 
 
+def _quantize_rows(x: jnp.ndarray):
+    """Symmetric per-row int8 quantization over the last axis.
+
+    x: [..., D] -> (q8 [..., D] int8, scale [...] f32) with
+    x ~= q8 * scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                  -127, 127).astype(jnp.int8)
+    return q8, scale
+
+
+def local_attention_step_ring_int8(q_t, k_t, v_t, k_buf, k_scale,
+                                   v_buf, v_scale, pos):
+    """Streaming attention step over an int8-quantized K/V ring buffer.
+
+    Same contract as `local_attention_step_ring`, with the W-1 history
+    slots stored int8 + one f32 scale per (row, slot) — quarter the
+    mandatory HBM read of the f32 buffers (half of bf16), which is the
+    serving step's bandwidth floor (PERF.md). The *current* frame's
+    k_t/v_t participate at full compute precision and are quantized
+    only on the buffer write, so each slot is quantized exactly once.
+
+      q_t/k_t: [B, Dk], v_t: [B, Dv] (compute dtype)
+      k_buf: [B, W-1, Dk] int8, k_scale: [B, W-1] f32
+      v_buf: [B, W-1, Dv] int8, v_scale: [B, W-1] f32
+
+    Returns (out [B, Dv], new_k_buf, new_k_scale, new_v_buf,
+    new_v_scale, new_pos).
+    """
+    from lookoncetohear_tpu.ops.pallas_lstm import lstm_pallas_enabled
+    cdt = q_t.dtype
+    dk = q_t.shape[-1]
+    scale = float(1.0 / np.sqrt(dk))
+    if lstm_pallas_enabled():
+        # fused single-pass kernel (scores+softmax+weighted-V in VMEM)
+        from lookoncetohear_tpu.ops.pallas_attention import \
+            attention_step_int8_pallas
+        out = attention_step_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
+                                         v_buf, v_scale)
+    else:
+        # dequantize-in-consumer: the int8->compute convert and the
+        # per-slot scale fold into the reduction (XLA fuses them), so
+        # HBM sees only the int8 bytes
+        s_hist = jnp.einsum("bd,bwd->bw", q_t, k_buf.astype(cdt))
+        s_hist = s_hist * k_scale.astype(cdt)
+        s_cur = jnp.sum(q_t * k_t, axis=-1)  # [B]
+        scores = jnp.concatenate([s_hist, s_cur[:, None]],
+                                 axis=1) * scale
+        attn = jax.nn.softmax(scores, axis=-1)  # [B, W]
+        w_hist = attn[:, :-1] * v_scale.astype(cdt)  # fold scale in
+        out = jnp.einsum("bw,bwd->bd", w_hist, v_buf.astype(cdt))
+        out = out + attn[:, -1:] * v_t
+    w = k_buf.shape[1]
+    k8, ks = _quantize_rows(k_t)
+    v8, vs = _quantize_rows(v_t)
+    new_k = jax.lax.dynamic_update_slice_in_dim(
+        k_buf, k8[:, None], pos, axis=1)
+    new_v = jax.lax.dynamic_update_slice_in_dim(
+        v_buf, v8[:, None], pos, axis=1)
+    new_ks = jax.lax.dynamic_update_slice_in_dim(
+        k_scale, ks[:, None].astype(k_scale.dtype), pos, axis=1)
+    new_vs = jax.lax.dynamic_update_slice_in_dim(
+        v_scale, vs[:, None].astype(v_scale.dtype), pos, axis=1)
+    new_pos = (pos + 1) % w
+    return out, new_k, new_ks, new_v, new_vs, new_pos
+
+
 def causal_banded_attention_full(q, k, v, window):
     """Full (offline) causal attention with band `window`, softmax over
     only the in-band *real* positions (mask semantics of reference

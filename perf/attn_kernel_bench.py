@@ -1,0 +1,56 @@
+import os, time, sys, functools
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax, jax.numpy as jnp, numpy as np
+sys.path.insert(0, "/root/repo")
+from lookoncetohear_tpu.ops.pallas_attention import attention_step_int8_pallas
+
+B, W1, DK, DV = 256, 49, 582, 1552   # 64 streams x 4 heads
+dt = jnp.bfloat16
+rng = np.random.default_rng(0)
+k8 = jnp.asarray(rng.integers(-127, 127, (B, W1, DK)), jnp.int8)
+v8 = jnp.asarray(rng.integers(-127, 127, (B, W1, DV)), jnp.int8)
+ks = jnp.asarray(rng.uniform(0.001, 0.02, (B, W1)), jnp.float32)
+vs = jnp.asarray(rng.uniform(0.001, 0.02, (B, W1)), jnp.float32)
+q0 = jnp.asarray(rng.standard_normal((B, DK)), dt)
+
+N1, N2, REP = 50, 250, 5
+def measure(tag, fn):
+    def timed(steps):
+        @jax.jit
+        def run(q):
+            def f(q, _):
+                out = fn(q, q, jnp.zeros((B, DV), dt), k8, ks, v8, vs)
+                return q + out[:, :DK].astype(dt)*0 + 1e-6, out[0, 0]
+            return jax.lax.scan(f, q, None, length=steps)
+        q, ys = run(q0); np.asarray(ys)
+        best = float("inf")
+        for _ in range(REP):
+            t0=time.perf_counter(); q, ys = run(q0); np.asarray(ys)
+            best = min(best, time.perf_counter()-t0)
+        return best
+    t1, t2 = timed(N1), timed(N2)
+    per = (t2-t1)/(N2-N1)
+    gbs = 3*(B*W1*(DK+DV))/per/1e9  # int8 bytes per call x3 calls
+    print(f"{tag:26s} {per/3*1e3:7.3f} ms/call  eff {gbs:.0f} GB/s", flush=True)
+
+def three(fn):
+    def wrapped(q, kt, vt, k8_, ks_, v8_, vs_):
+        o = fn(q, kt, vt, k8_, ks_, v8_, vs_)
+        o = fn(q, kt, vt, k8_, ks_, v8_, vs_) + o*0.0
+        return fn(q, kt, vt, k8_, ks_, v8_, vs_) + o*0.0
+    return wrapped
+
+for br in (32, 64, 128, 256):
+    measure(f"pallas block_rows={br}", three(functools.partial(
+        attention_step_int8_pallas, block_rows=br)))
+
+def xla_path(q, kt, vt, k8_, ks_, v8_, vs_):
+    cdt = q.dtype
+    scale = float(1.0/np.sqrt(DK))
+    s_h = jnp.einsum("bd,bwd->bw", q, k8_.astype(cdt)) * ks_.astype(cdt)
+    s_c = jnp.sum(q*kt, -1)
+    sc = jnp.concatenate([s_h, s_c[:,None]], 1) * scale
+    a = jax.nn.softmax(sc, -1)
+    out = jnp.einsum("bw,bwd->bd", a[:,:-1]*vs_.astype(cdt), v8_.astype(cdt))
+    return out + a[:,-1:]*vt
+measure("XLA einsum path", three(xla_path))

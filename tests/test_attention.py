@@ -131,3 +131,82 @@ def test_full_causal_matches_banded_inside_window():
     want = attn @ v
     np.testing.assert_allclose(np.asarray(full[:, -1:]),
                                np.asarray(want), atol=1e-5)
+
+
+class TestInt8Ring:
+    """int8-quantized K/V ring buffer (serving memory optimization,
+    quarter the HBM floor of f32 — PERF.md)."""
+
+    def _drive(self, steps=13, b=4, dk=8, dv=6, w=6, seed=11):
+        rng = np.random.default_rng(seed)
+        q = rng.standard_normal((steps, b, dk)).astype(np.float32)
+        k = rng.standard_normal((steps, b, dk)).astype(np.float32)
+        v = rng.standard_normal((steps, b, dv)).astype(np.float32)
+        return q, k, v, b, dk, dv, w
+
+    def test_matches_f32_ring_within_quant_tol(self):
+        q, k, v, b, dk, dv, w = self._drive()
+        kb32 = jnp.zeros((b, w - 1, dk))
+        vb32 = jnp.zeros((b, w - 1, dv))
+        kb8 = jnp.zeros((b, w - 1, dk), jnp.int8)
+        vb8 = jnp.zeros((b, w - 1, dv), jnp.int8)
+        ks = jnp.zeros((b, w - 1))
+        vs = jnp.zeros((b, w - 1))
+        p32 = jnp.zeros((), jnp.int32)
+        p8 = jnp.zeros((), jnp.int32)
+        for t in range(q.shape[0]):
+            o32, kb32, vb32, p32 = att.local_attention_step_ring(
+                jnp.asarray(q[t]), jnp.asarray(k[t]), jnp.asarray(v[t]),
+                kb32, vb32, p32)
+            o8, kb8, ks, vb8, vs, p8 = \
+                att.local_attention_step_ring_int8(
+                    jnp.asarray(q[t]), jnp.asarray(k[t]),
+                    jnp.asarray(v[t]), kb8, ks, vb8, vs, p8)
+            err = np.abs(np.asarray(o8) - np.asarray(o32)).max()
+            ref = np.abs(np.asarray(o32)).max() + 1e-9
+            assert err / ref < 0.03, (t, err / ref)
+
+    def test_dequantized_buffer_tracks_history(self):
+        q, k, v, b, dk, dv, w = self._drive(steps=5, w=6)
+        kb8 = jnp.zeros((b, w - 1, dk), jnp.int8)
+        vb8 = jnp.zeros((b, w - 1, dv), jnp.int8)
+        ks = jnp.zeros((b, w - 1))
+        vs = jnp.zeros((b, w - 1))
+        pos = jnp.zeros((), jnp.int32)
+        for t in range(5):
+            _, kb8, ks, vb8, vs, pos = \
+                att.local_attention_step_ring_int8(
+                    jnp.asarray(q[t]), jnp.asarray(k[t]),
+                    jnp.asarray(v[t]), kb8, ks, vb8, vs, pos)
+        deq = np.asarray(kb8, np.float32) * np.asarray(ks)[..., None]
+        np.testing.assert_allclose(deq[:, 0], k[0], atol=2e-2)
+        np.testing.assert_allclose(deq[:, 4], k[4], atol=2e-2)
+
+    def test_pallas_kernel_matches_xla_path(self):
+        """Fused int8 kernel (interpret mode) == dequantize-in-consumer
+        XLA formulation."""
+        from lookoncetohear_tpu.ops.pallas_attention import (
+            attention_step_int8_pallas)
+        rng = np.random.default_rng(12)
+        b, dk, dv, wm1 = 7, 16, 12, 9
+        q = jnp.asarray(rng.standard_normal((b, dk)), jnp.float32)
+        kt = jnp.asarray(rng.standard_normal((b, dk)), jnp.float32)
+        vt = jnp.asarray(rng.standard_normal((b, dv)), jnp.float32)
+        kb = jnp.asarray(
+            rng.integers(-127, 128, (b, wm1, dk)), jnp.int8)
+        vb = jnp.asarray(
+            rng.integers(-127, 128, (b, wm1, dv)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(1e-3, 2e-2, (b, wm1)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(1e-3, 2e-2, (b, wm1)), jnp.float32)
+        got = attention_step_int8_pallas(q, kt, vt, kb, ks, vb, vs,
+                                         interpret=True, block_rows=4)
+        scale = 1.0 / np.sqrt(dk)
+        s_h = jnp.einsum("bd,bwd->bw", q, kb.astype(jnp.float32)) * ks
+        s_c = jnp.sum(q * kt, axis=-1)
+        scores = jnp.concatenate([s_h, s_c[:, None]], 1) * scale
+        attn = jax.nn.softmax(scores, -1)
+        want = jnp.einsum("bw,bwd->bd", attn[:, :-1] * vs,
+                          vb.astype(jnp.float32)) + \
+            attn[:, -1:] * vt
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

@@ -151,3 +151,37 @@ class TestBf16KV:
         y16 = run(jnp.bfloat16)
         err = np.abs(y16 - y32).max() / (np.abs(y32).max() + 1e-9)
         assert err < 0.05, err
+
+
+@pytest.mark.slow
+class TestInt8KV:
+    def test_streaming_with_int8_kv_close_to_f32(self):
+        """int8 K/V ring buffers with per-slot scales: outputs track
+        the f32 state path within quantization tolerance (quarter the
+        serving step's HBM floor — PERF.md)."""
+        model = Net(**TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 640)),
+            jnp.zeros((1, 1, TINY["embed_dim"])))["params"]
+        rng = np.random.default_rng(8)
+        chunk = TINY["stft_chunk_size"]
+        nfft = chunk + TINY["stft_pad_size"]
+        emb = rng.standard_normal((1, TINY["embed_dim"])).astype(
+            np.float32)
+
+        def run(kv):
+            state = model.init_state(1, kv_dtype=kv)
+            outs = []
+            r = np.random.default_rng(9)
+            for _ in range(10):
+                x = r.standard_normal((1, 2, nfft)).astype(np.float32)
+                y, state = model.apply({"params": params},
+                                       jnp.asarray(x), jnp.asarray(emb),
+                                       state, method=model.step)
+                outs.append(np.asarray(y))
+            return np.concatenate(outs, -1)
+
+        y32 = run(jnp.float32)
+        y8 = run(jnp.int8)
+        err = np.abs(y8 - y32).max() / (np.abs(y32).max() + 1e-9)
+        assert err < 0.08, err
