@@ -2,11 +2,19 @@
 
 Runs N concurrent binaural streams as the leading batch dimension of
 the 8 ms stream step (chunk 128 + 64-sample lookahead @ 16 kHz,
-configs/tsh.json geometry) and measures DEVICE per-step time via a
-K-step on-device `lax.scan` with a forced host fetch — per-step host
-dispatch and transport latency (large under proxied transports) is
-excluded, and `block_until_ready` is never trusted on its own
-(see PERF.md). Prints ONE JSON line:
+configs/tsh.json geometry) in the production serving config: bf16
+params/activations (measured 0.05 dB SI-SNRi cost) + int8 K/V ring
+buffers with per-slot scales (measured <0.08 rel-err vs f32 state,
+tests/test_serve.py::TestInt8KV) — see PERF.md for the quality
+studies.
+
+DEVICE time per step is measured by the SLOPE method: two on-device
+`lax.scan` lengths with forced host fetches, per-step time =
+(T(n2) - T(n1)) / (n2 - n1). This cancels the fixed per-call
+launch+transport cost (~27 ms on proxied transports, which would
+inflate a 40-step scan by ~0.68 ms/step) and never trusts
+`block_until_ready` alone (unreliable here — PERF.md "Measurement
+methodology"). Prints ONE JSON line:
 
   {"metric": "streaming_rtf_64", "value": <RTF per stream>,
    "unit": "xRT", "vs_baseline": <0.1 / RTF>}
@@ -32,8 +40,9 @@ import numpy as np
 
 N_STREAMS = 64
 CHUNK = 128
-SCAN_STEPS = 40
-REPEATS = 3
+STEPS_SHORT = 100
+STEPS_LONG = 500
+REPEATS = 4
 
 
 def main() -> None:
@@ -44,36 +53,42 @@ def main() -> None:
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 2, nfft)),
                         jnp.zeros((1, 1, 256)))["params"]
-    # full-bf16 serving: measured 0.05 dB SI-SNRi cost on a trained
-    # checkpoint for ~half the HBM traffic (PERF.md)
     dt = jnp.bfloat16
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dt),
                                     params)
     emb = jnp.zeros((N_STREAMS, 256), dt)
-    state = model.init_state(N_STREAMS, dtype=dt)
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.standard_normal(
-        (SCAN_STEPS, N_STREAMS, 2, nfft)), dt)
 
-    @jax.jit
-    def run(state, xs):
-        def f(s, xc):
-            y, s = model.apply({"params": params}, xc, emb, s,
-                               method=model.step)
-            return s, y[:, :, -1]
-        return jax.lax.scan(f, state, xs)
+    def timed(steps: int) -> float:
+        state = model.init_state(N_STREAMS, dtype=dt,
+                                 kv_dtype=jnp.int8)
+        xs = jnp.asarray(rng.standard_normal(
+            (steps, N_STREAMS, 2, nfft)), dt)
 
-    state, ys = run(state, xs)
-    np.asarray(ys)  # forced fetch = true completion barrier
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        state, ys = run(state, xs)
-        np.asarray(ys)
-        best = min(best, (time.perf_counter() - t0) / SCAN_STEPS)
+        @jax.jit
+        def run(state, xs):
+            def f(s, xc):
+                y, s = model.apply({"params": params}, xc, emb, s,
+                                   method=model.step)
+                return s, y[:, :, -1]
+            return jax.lax.scan(f, state, xs)
+
+        st, ys = run(state, xs)
+        np.asarray(ys)  # forced fetch = true completion barrier
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            st, ys = run(state, xs)
+            np.asarray(ys)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(STEPS_SHORT)
+    t2 = timed(STEPS_LONG)
+    per_step = (t2 - t1) / (STEPS_LONG - STEPS_SHORT)
 
     chunk_s = CHUNK / 16000.0
-    rtf = best / chunk_s
+    rtf = per_step / chunk_s
     target = 0.1
     print(json.dumps({
         "metric": f"streaming_rtf_{N_STREAMS}",
