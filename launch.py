@@ -44,6 +44,11 @@ def create_launch_script(cfg) -> str:
         "export PYTHONFAULTHANDLER=1",
         # surface XLA/ICI issues the way NCCL_DEBUG=INFO did for DDP
         "export TPU_STDERR_LOG_LEVEL=0",
+        # every pod worker joins the jax.distributed cluster (ranks +
+        # coordinator from the TPU metadata service; see
+        # parallel/distributed.py) — the srun-per-GPU equivalent of
+        # reference slurm.py:36-37
+        "export LOOKONCE_DIST=auto",
     ]
     for k, v in getattr(cfg, "env", {}).items():
         lines.append(f"export {k}={v}")

@@ -27,6 +27,11 @@ def parse_args():
 
 if __name__ == "__main__":
     logging.basicConfig(level=logging.INFO)
+    # multi-host: join the jax.distributed cluster BEFORE any backend
+    # touch (env-gated no-op for single-process runs; the reference's
+    # equivalent was Lightning DDP's env rendezvous, slurm.py:102-104)
+    from lookoncetohear_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
     args = parse_args()
     # run-dir collision guard (reference src/trainer.py:122-126)
     last = os.path.join(args.run_dir, "last.ckpt")

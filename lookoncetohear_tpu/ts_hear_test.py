@@ -221,6 +221,15 @@ def run(args) -> pd.DataFrame:
         df["output_sisnr"] = np.asarray(out_sisnr)
         df["si_snr_i"] = np.asarray(sisnri)
         df["embedding_sim"] = np.asarray(emb_sim)
+        if getattr(args, "binaural", False):
+            # spatial-cue preservation columns (reference used ILD/ITD
+            # in its spatial analyses, src/eval/binaural.py:49,120)
+            from lookoncetohear_tpu.metrics.binaural import (ild_diff,
+                                                             itd_diff)
+            est = np.asarray(outputs, np.float64)
+            gt = np.asarray(target, np.float64)
+            df["delta_ild_db"] = ild_diff(est, gt)
+            df["delta_itd_us"] = itd_diff(est, gt, sr)
         df["enroll_duration"] = [
             _trim_duration(np.asarray(e), sr)
             for e in np.asarray(inputs["enrollments_clean"][:, 0])]
@@ -260,5 +269,9 @@ if __name__ == "__main__":
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--embed_from_wav", action="store_true",
                         default=False)
+    parser.add_argument("--binaural", action="store_true",
+                        default=False,
+                        help="add ΔILD (dB) / ΔITD (µs) spatial-cue "
+                             "columns to the per-sample CSV")
     args = parser.parse_args()
     run(args)

@@ -287,3 +287,30 @@ class TestGoldenSamples:
                    - 1350.3377685546875) < 1e-2
         assert abs(float(t["embedding_gt"].sum())
                    - 1.137817144393921) < 1e-4
+
+
+class TestScaperCrossval:
+    """The cross-validation harness (data/scaper_crossval.py):
+    self-consistency always; real-scaper comparison when available."""
+
+    def test_self_consistency_golden(self, tmp_path):
+        from lookoncetohear_tpu.data.scaper_crossval import (
+            main, self_consistency)
+        fg, bg = _make_corpus(str(tmp_path))
+        out = str(tmp_path / "jams")
+        generate_scene_specs(fg, bg, out, num_soundscapes=1, seed=11)
+        scene_dir = os.path.join(out, "00000000")
+        rep = self_consistency(scene_dir, fg, bg)
+        assert rep["max_abs_err_lufs"] < 0.5, rep
+        # CLI: rc 0 + JSON report on stdout
+        assert main([scene_dir, "--fg_dir", fg, "--bg_dir", bg]) == 0
+
+    def test_against_real_scaper(self, tmp_path):
+        pytest.importorskip("scaper")
+        from lookoncetohear_tpu.data.scaper_crossval import \
+            against_scaper
+        fg, bg = _make_corpus(str(tmp_path))
+        out = str(tmp_path / "jams")
+        generate_scene_specs(fg, bg, out, num_soundscapes=1, seed=12)
+        rep = against_scaper(os.path.join(out, "00000000"), fg, bg)
+        assert rep["max_lufs_diff"] < 0.5, rep

@@ -91,3 +91,19 @@ class TestRun:
             os.path.join(run_dir, "results_val_clean.csv"))
         # gt embedding => cosine similarity exactly 1
         np.testing.assert_allclose(df["embedding_sim"], 1.0, atol=1e-5)
+
+    def test_binaural_columns(self, tmp_path):
+        """--binaural adds finite ΔILD/ΔITD spatial-cue columns
+        (reference src/eval/binaural.py:49,120)."""
+        cfg_path = self._write(tmp_path, TINY_TSE_CFG, "tsh.json")
+        run_dir = str(tmp_path / "runb")
+        os.makedirs(run_dir)
+        args = argparse.Namespace(
+            config=cfg_path, run_dir=run_dir, enroll_config=None,
+            enroll_run_dir=None, dset="val", sample=False,
+            num_workers=0, binaural=True)
+        df = run(args)
+        assert "delta_ild_db" in df.columns
+        assert "delta_itd_us" in df.columns
+        assert np.isfinite(df["delta_ild_db"]).all()
+        assert np.isfinite(df["delta_itd_us"]).all()
