@@ -150,9 +150,10 @@ def lstm_apply_bidir(fwd: LSTMParams, bwd: LSTMParams, x: jnp.ndarray,
     from lookoncetohear_tpu.ops.pallas_lstm import (bilstm_scan_pallas,
                                                     lstm_pallas_enabled)
     if fused and lstm_pallas_enabled():
-        ys = bilstm_scan_pallas(xp, w_hh).astype(x.dtype)
-        h_t = ys[-1]  # [2, B, H]; cell state not exposed on this path
-        c_t = h_t
+        ys, c_t = bilstm_scan_pallas(xp, w_hh)
+        ys = ys.astype(x.dtype)
+        h_t = ys[-1].astype(x.dtype)  # [2, B, H]
+        c_t = c_t.astype(x.dtype)
     else:
         # carries/emissions are [2B, *]: folding the direction axis
         # into batch keeps the minor two dims large so the per-step

@@ -31,7 +31,7 @@ def _gates(g, h, c):
     return h, c
 
 
-def _bilstm_kernel(xp_ref, whh_ref, out_ref, *, t_len: int,
+def _bilstm_kernel(xp_ref, whh_ref, out_ref, cT_ref, *, t_len: int,
                    hidden: int):
     wf = whh_ref[0]  # [H, 4H]
     wb = whh_ref[1]
@@ -50,7 +50,9 @@ def _bilstm_kernel(xp_ref, whh_ref, out_ref, *, t_len: int,
         return hf, cf, hb, cb
 
     z = jnp.zeros((bb, hidden), jnp.float32)
-    jax.lax.fori_loop(0, t_len, body, (z, z, z, z))
+    _, cf, _, cb = jax.lax.fori_loop(0, t_len, body, (z, z, z, z))
+    cT_ref[0] = cf
+    cT_ref[1] = cb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,7 +63,7 @@ def bilstm_scan_pallas(xp: jnp.ndarray, w_hh: jnp.ndarray,
     xp: [T, 2, B, 4H] pre-projected inputs (+biases); direction 1 must
         already be time-flipped (the caller flips its output back).
     w_hh: [2, H, 4H] recurrent weights (already transposed).
-    Returns ys [T, 2, B, H].
+    Returns (ys [T, 2, B, H], cT [2, B, H] final cell states).
     """
     t_len, _, b, g4 = xp.shape
     hidden = g4 // 4
@@ -82,7 +84,7 @@ def bilstm_scan_pallas(xp: jnp.ndarray, w_hh: jnp.ndarray,
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, pad), (0, 0)))
     bp = b + pad
 
-    out = pl.pallas_call(
+    out, c_t = pl.pallas_call(
         functools.partial(_bilstm_kernel, t_len=t_len, hidden=hidden),
         grid=(bp // bb,),
         in_specs=[
@@ -91,14 +93,20 @@ def bilstm_scan_pallas(xp: jnp.ndarray, w_hh: jnp.ndarray,
             pl.BlockSpec((2, hidden, g4), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t_len, 2, bb, hidden),
-                               lambda i: (0, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_len, 2, bp, hidden),
-                                       jnp.float32),
+        out_specs=[
+            pl.BlockSpec((t_len, 2, bb, hidden),
+                         lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bb, hidden), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, 2, bp, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((2, bp, hidden), jnp.float32),
+        ],
         interpret=interpret,
     )(xp.astype(jnp.float32), w_hh.astype(jnp.float32))
-    return out[:, :, :b]
+    return out[:, :, :b], c_t[:, :b]
 
 
 def lstm_pallas_enabled() -> bool:

@@ -23,9 +23,9 @@ xs = jnp.asarray(rng.standard_normal((STEPS, F, 2, N, 4*H)), jnp.float32)
 @jax.jit
 def run_lstm(c, xs):
     def f(c, xp):
-        y = bilstm_scan_pallas(xp, w_hh)
+        y, _ = bilstm_scan_pallas(xp, w_hh)
         for _ in range(2):
-            y = bilstm_scan_pallas(xp + y[:, :, :, :1]*0 + jnp.pad(y, ((0,0),(0,0),(0,0),(0, 3*H))), w_hh)
+            y, _ = bilstm_scan_pallas(xp + y[:, :, :, :1]*0 + jnp.pad(y, ((0,0),(0,0),(0,0),(0, 3*H))), w_hh)
         return c, y[-1, 0, :, 0]
     return jax.lax.scan(f, c, xs)
 timed("3x pallas BiLSTM (F=97)", run_lstm, jnp.zeros((N,)), xs)

@@ -28,11 +28,19 @@ def test_bilstm_kernel_matches_scan():
     xp_b = x[:, ::-1] @ bwd.w_ih.T + (bwd.b_ih + bwd.b_hh)
     xp = jnp.stack([xp_f, xp_b], axis=0).transpose(2, 0, 1, 3)
     w_hh = jnp.stack([fwd.w_hh.T, bwd.w_hh.T], axis=0)
-    ys = bilstm_scan_pallas(xp, w_hh, interpret=True)  # [T, 2, B, H]
-    got = jnp.concatenate(
+    ys, c_t = bilstm_scan_pallas(xp, w_hh, interpret=True)
+    got = jnp.concatenate(  # ys: [T, 2, B, H]
         [ys[:, 0].swapaxes(0, 1), ys[:, 1].swapaxes(0, 1)[:, ::-1]],
         axis=-1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+    # final cell states match the scan path's (fixes the r1 trap where
+    # the fused path returned c_t = h_t)
+    _, (_, cf) = lstm_apply(fwd, x)
+    _, (_, cb) = lstm_apply(bwd, x, reverse=True)
+    np.testing.assert_allclose(np.asarray(c_t[0]), np.asarray(cf),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_t[1]), np.asarray(cb),
                                atol=2e-5)
 
 
