@@ -40,8 +40,12 @@ class MetricsLogger:
     def __init__(self, run_dir: str, project: str = "ts-hear") -> None:
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
+        # multi-host: only rank 0 writes metrics/wandb (the reference's
+        # Lightning rank_zero guard; checkpointing stays on all ranks —
+        # orbax coordinates its own multi-process barrier)
+        self._primary = jax.process_index() == 0
         self._wandb = None
-        if os.environ.get("LOOKONCE_WANDB"):
+        if self._primary and os.environ.get("LOOKONCE_WANDB"):
             try:
                 import wandb
                 from lookoncetohear_tpu.utils import get_run_id
@@ -52,6 +56,8 @@ class MetricsLogger:
                 logging.warning("LOOKONCE_WANDB set but wandb missing")
 
     def log(self, record: dict) -> None:
+        if not self._primary:
+            return
         record = {k: (float(v) if isinstance(v, (int, float, np.floating,
                                                  jnp.ndarray, jax.Array))
                       else v) for k, v in record.items()}
