@@ -38,8 +38,12 @@ def _chunk_len(t: int, min_len: int = 256) -> int | None:
     O(T/S) chunk-boundary carries + one chunk's residuals, the standard
     sqrt(T) checkpointing trade. Returns the smallest divisor of `t`
     >= sqrt(t) (so shapes stay static), or None when t < min_len (not
-    worth the recompute) or t is awkwardly prime."""
-    if t < min_len:
+    worth the recompute) or t is awkwardly prime.
+
+    LOOKONCE_FLAT_SCAN=1 disables chunking entirely (profiling knob:
+    measures the remat recompute cost, perf/train_step_bench.py)."""
+    import os
+    if t < min_len or os.environ.get("LOOKONCE_FLAT_SCAN"):
         return None
     s = int(np.ceil(np.sqrt(t)))
     for cand in range(s, t // 2 + 1):
