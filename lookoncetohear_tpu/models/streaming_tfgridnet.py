@@ -196,25 +196,53 @@ class GridNetBlockStreaming(nn.Module):
         k_buf = state["k_buf"].reshape(b * nh, w - 1, f * e)
         v_buf = state["v_buf"].reshape(b * nh, w - 1, f * vd)
 
+        # For the t == 1 streaming paths the single-slot ring write is
+        # issued DIRECTLY on the 4-D state arrays (no reshape between
+        # the carried buffer and its dynamic_update_slice) so XLA can
+        # alias the scan carry in place — a reshape in the write path
+        # forces a full ~25 MB/block buffer copy every 8 ms step.
+        pos = state["pos"]
+        nk = nvb = None
         if t == 1 and state["k_buf"].dtype == jnp.int8:
             # streaming with int8-quantized K/V history: quarter the
             # HBM floor of the step (per-slot scales in the state)
             ksc = state["k_scale"].reshape(b * nh, w - 1)
             vsc = state["v_scale"].reshape(b * nh, w - 1)
-            out, nk, nks, nvb, nvs, new_state["pos"] = \
-                att_ops.local_attention_step_ring_int8(
-                    qf[:, 0], kf[:, 0], vf[:, 0], k_buf, ksc, v_buf,
-                    vsc, state["pos"])
-            new_state["k_scale"] = nks.reshape(b, nh, w - 1)
-            new_state["v_scale"] = nvs.reshape(b, nh, w - 1)
+            out = att_ops.ring_attend_int8(
+                qf[:, 0], kf[:, 0], vf[:, 0], k_buf, ksc, v_buf, vsc)
+            k8, ks_n = att_ops.quantize_rows(kf[:, 0])
+            v8, vs_n = att_ops.quantize_rows(vf[:, 0])
+            new_state["k_buf"] = jax.lax.dynamic_update_slice_in_dim(
+                state["k_buf"], k8.reshape(b, nh, 1, f * e), pos,
+                axis=2)
+            new_state["v_buf"] = jax.lax.dynamic_update_slice_in_dim(
+                state["v_buf"], v8.reshape(b, nh, 1, f * vd), pos,
+                axis=2)
+            new_state["k_scale"] = jax.lax.dynamic_update_slice_in_dim(
+                state["k_scale"],
+                ks_n.reshape(b, nh, 1).astype(state["k_scale"].dtype),
+                pos, axis=2)
+            new_state["v_scale"] = jax.lax.dynamic_update_slice_in_dim(
+                state["v_scale"],
+                vs_n.reshape(b, nh, 1).astype(state["v_scale"].dtype),
+                pos, axis=2)
+            new_state["pos"] = (pos + 1) % (w - 1)
             out = out[:, None]
         elif t == 1:
             # streaming: ring-buffer update (1-slot write; attention
             # over an unordered window is permutation-invariant)
-            out, nk, nvb, new_state["pos"] = \
-                att_ops.local_attention_step_ring(
-                    qf[:, 0], kf[:, 0], vf[:, 0], k_buf, v_buf,
-                    state["pos"])
+            out = att_ops.ring_attend(
+                qf[:, 0], kf[:, 0], vf[:, 0], k_buf, v_buf)
+            kvdt = state["k_buf"].dtype
+            new_state["k_buf"] = jax.lax.dynamic_update_slice_in_dim(
+                state["k_buf"],
+                kf[:, 0].reshape(b, nh, 1, f * e).astype(kvdt), pos,
+                axis=2)
+            new_state["v_buf"] = jax.lax.dynamic_update_slice_in_dim(
+                state["v_buf"],
+                vf[:, 0].reshape(b, nh, 1, f * vd).astype(kvdt), pos,
+                axis=2)
+            new_state["pos"] = (pos + 1) % (w - 1)
             out = out[:, None]
         elif self.chunk_causal:
             assert state["k_buf"].dtype != jnp.int8, \
@@ -238,8 +266,9 @@ class GridNetBlockStreaming(nn.Module):
             # full pass leaves a time-ordered buffer; cursor 0 points
             # at the oldest slot, so subsequent ring steps stay correct
             new_state["pos"] = jnp.zeros((), jnp.int32)
-        new_state["k_buf"] = nk.reshape(b, nh, w - 1, f * e)
-        new_state["v_buf"] = nvb.reshape(b, nh, w - 1, f * vd)
+        if nk is not None:  # full-chunk paths rewrite the whole buffer
+            new_state["k_buf"] = nk.reshape(b, nh, w - 1, f * e)
+            new_state["v_buf"] = nvb.reshape(b, nh, w - 1, f * vd)
 
         # Merge heads back to channels: channel = head * v_dim + v
         out = out.reshape(b, nh, t, f, vd)

@@ -113,6 +113,29 @@ def local_attention_step(q_t: jnp.ndarray, k_t: jnp.ndarray,
     return out, k_all[:, 1:], v_all[:, 1:]
 
 
+def ring_attend(q_t: jnp.ndarray, k_t: jnp.ndarray, v_t: jnp.ndarray,
+                k_buf: jnp.ndarray, v_buf: jnp.ndarray) -> jnp.ndarray:
+    """Compute-only streaming attention over ring history + current
+    frame: softmax over the W-1 (unordered) buffer slots plus k_t/v_t.
+    The caller owns the single-slot buffer write (issue it directly on
+    the CARRIED state array, reshape-free, so XLA aliases it in
+    place)."""
+    from lookoncetohear_tpu.ops.pallas_attention import (
+        attention_step_pallas, pallas_enabled)
+    cdt = q_t.dtype
+    if pallas_enabled() and k_buf.dtype == cdt:
+        out, _, _ = attention_step_pallas(q_t, k_t, v_t, k_buf, v_buf,
+                                          update_buffers=False)
+        return out
+    dk = q_t.shape[-1]
+    scale = float(1.0 / np.sqrt(dk))
+    k_all = jnp.concatenate([k_buf.astype(cdt), k_t[:, None]], axis=1)
+    v_all = jnp.concatenate([v_buf.astype(cdt), v_t[:, None]], axis=1)
+    scores = jnp.einsum("bd,bwd->bw", q_t, k_all) * scale
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bw,bwd->bd", attn, v_all)
+
+
 def local_attention_step_ring(q_t: jnp.ndarray, k_t: jnp.ndarray,
                               v_t: jnp.ndarray,
                               k_buf: jnp.ndarray, v_buf: jnp.ndarray,
@@ -129,23 +152,12 @@ def local_attention_step_ring(q_t: jnp.ndarray, k_t: jnp.ndarray,
 
     k_buf/v_buf may be stored in a lower precision (e.g. bfloat16);
     scores/values are computed in the q/v compute dtype.
+
+    NOTE: the model's streaming path uses `ring_attend` + its own
+    update on the carried 4-D state (see streaming_tfgridnet.py); this
+    flat-buffer wrapper remains for op-level tests and external use.
     """
-    from lookoncetohear_tpu.ops.pallas_attention import (
-        attention_step_pallas, pallas_enabled)
-    cdt = q_t.dtype
-    if pallas_enabled() and k_buf.dtype == cdt:
-        out, _, _ = attention_step_pallas(q_t, k_t, v_t, k_buf, v_buf,
-                                          update_buffers=False)
-    else:
-        dk = q_t.shape[-1]
-        scale = float(1.0 / np.sqrt(dk))
-        k_all = jnp.concatenate(
-            [k_buf.astype(cdt), k_t[:, None]], axis=1)
-        v_all = jnp.concatenate(
-            [v_buf.astype(cdt), v_t[:, None]], axis=1)
-        scores = jnp.einsum("bd,bwd->bw", q_t, k_all) * scale
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bw,bwd->bd", attn, v_all)
+    out = ring_attend(q_t, k_t, v_t, k_buf, v_buf)
     w = k_buf.shape[1]
     new_k = jax.lax.dynamic_update_slice_in_dim(
         k_buf, k_t[:, None].astype(k_buf.dtype), pos, axis=1)
@@ -155,7 +167,7 @@ def local_attention_step_ring(q_t: jnp.ndarray, k_t: jnp.ndarray,
     return out, new_k, new_v, new_pos
 
 
-def _quantize_rows(x: jnp.ndarray):
+def quantize_rows(x: jnp.ndarray):
     """Symmetric per-row int8 quantization over the last axis.
 
     x: [..., D] -> (q8 [..., D] int8, scale [...] f32) with
@@ -167,23 +179,17 @@ def _quantize_rows(x: jnp.ndarray):
     return q8, scale
 
 
-def local_attention_step_ring_int8(q_t, k_t, v_t, k_buf, k_scale,
-                                   v_buf, v_scale, pos):
-    """Streaming attention step over an int8-quantized K/V ring buffer.
-
-    Same contract as `local_attention_step_ring`, with the W-1 history
-    slots stored int8 + one f32 scale per (row, slot) — quarter the
-    mandatory HBM read of the f32 buffers (half of bf16), which is the
-    serving step's bandwidth floor (PERF.md). The *current* frame's
-    k_t/v_t participate at full compute precision and are quantized
-    only on the buffer write, so each slot is quantized exactly once.
+def ring_attend_int8(q_t, k_t, v_t, k_buf, k_scale, v_buf, v_scale):
+    """Compute-only streaming attention over an int8-quantized K/V
+    ring (W-1 history slots int8 + one f32 scale per (row, slot) —
+    quarter the mandatory HBM read of f32, half of bf16). The current
+    frame's k_t/v_t participate at full compute precision; the caller
+    quantizes them once (`quantize_rows`) for its own buffer write.
 
       q_t/k_t: [B, Dk], v_t: [B, Dv] (compute dtype)
       k_buf: [B, W-1, Dk] int8, k_scale: [B, W-1] f32
       v_buf: [B, W-1, Dv] int8, v_scale: [B, W-1] f32
-
-    Returns (out [B, Dv], new_k_buf, new_k_scale, new_v_buf,
-    new_v_scale, new_pos).
+    Returns out [B, Dv].
     """
     from lookoncetohear_tpu.ops.pallas_lstm import lstm_pallas_enabled
     cdt = q_t.dtype
@@ -193,24 +199,35 @@ def local_attention_step_ring_int8(q_t, k_t, v_t, k_buf, k_scale,
         # fused single-pass kernel (scores+softmax+weighted-V in VMEM)
         from lookoncetohear_tpu.ops.pallas_attention import \
             attention_step_int8_pallas
-        out = attention_step_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
-                                         v_buf, v_scale)
-    else:
-        # dequantize-in-consumer: the int8->compute convert and the
-        # per-slot scale fold into the reduction (XLA fuses them), so
-        # HBM sees only the int8 bytes
-        s_hist = jnp.einsum("bd,bwd->bw", q_t, k_buf.astype(cdt))
-        s_hist = s_hist * k_scale.astype(cdt)
-        s_cur = jnp.sum(q_t * k_t, axis=-1)  # [B]
-        scores = jnp.concatenate([s_hist, s_cur[:, None]],
-                                 axis=1) * scale
-        attn = jax.nn.softmax(scores, axis=-1)  # [B, W]
-        w_hist = attn[:, :-1] * v_scale.astype(cdt)  # fold scale in
-        out = jnp.einsum("bw,bwd->bd", w_hist, v_buf.astype(cdt))
-        out = out + attn[:, -1:] * v_t
+        return attention_step_int8_pallas(q_t, k_t, v_t, k_buf,
+                                          k_scale, v_buf, v_scale)
+    # dequantize-in-consumer: the int8->compute convert and the
+    # per-slot scale fold into the reduction (XLA fuses them), so
+    # HBM sees only the int8 bytes
+    s_hist = jnp.einsum("bd,bwd->bw", q_t, k_buf.astype(cdt))
+    s_hist = s_hist * k_scale.astype(cdt)
+    s_cur = jnp.sum(q_t * k_t, axis=-1)  # [B]
+    scores = jnp.concatenate([s_hist, s_cur[:, None]], axis=1) * scale
+    attn = jax.nn.softmax(scores, axis=-1)  # [B, W]
+    w_hist = attn[:, :-1] * v_scale.astype(cdt)  # fold scale in
+    out = jnp.einsum("bw,bwd->bd", w_hist, v_buf.astype(cdt))
+    return out + attn[:, -1:] * v_t
+
+
+def local_attention_step_ring_int8(q_t, k_t, v_t, k_buf, k_scale,
+                                   v_buf, v_scale, pos):
+    """`ring_attend_int8` + flat-buffer single-slot ring write (the
+    model issues the write on its carried 4-D state instead; this
+    wrapper serves op-level tests and external callers).
+
+    Returns (out [B, Dv], new_k_buf, new_k_scale, new_v_buf,
+    new_v_scale, new_pos).
+    """
+    out = ring_attend_int8(q_t, k_t, v_t, k_buf, k_scale, v_buf,
+                           v_scale)
     w = k_buf.shape[1]
-    k8, ks = _quantize_rows(k_t)
-    v8, vs = _quantize_rows(v_t)
+    k8, ks = quantize_rows(k_t)
+    v8, vs = quantize_rows(v_t)
     new_k = jax.lax.dynamic_update_slice_in_dim(
         k_buf, k8[:, None], pos, axis=1)
     new_v = jax.lax.dynamic_update_slice_in_dim(
