@@ -32,6 +32,24 @@ from lookoncetohear_tpu.data.scene import render_scene
 from lookoncetohear_tpu.data import spatializer as sp
 
 
+# Canonical per-sample schema (reference
+# MixLibriSpeechNoisyEnrollNorm.py:349-376). Every dataset in this
+# package — including the corpus-free synthetic fixtures — emits
+# exactly these keys, so downstream analyses (input-SNR bins, speaker
+# columns in ts_hear_test CSVs) never silently come back empty.
+INPUT_KEYS = frozenset({
+    "mixture", "mixture_sisnr", "mixture_embeddings",
+    "enrollments", "enrollments_clean", "enrollments_clean_anechoic",
+    "enrollments_clean_path", "enrollments_id",
+    "enrollments_source_files", "enrollments_sisnr",
+    "tgt_ang_vel", "tgt_enroll_error", "tgt_shift", "tgt_idx",
+    "target_source_file", "source_files", "speaker_info",
+})
+TARGET_KEYS = frozenset({
+    "target", "embedding_gt", "embedding_neg", "tgt_spk_idx",
+})
+
+
 def _np_si_snr(pred: np.ndarray, target: np.ndarray) -> float:
     """torchmetrics SI-SNR, numpy, mean over channels."""
     pred = pred - pred.mean(-1, keepdims=True)

@@ -30,33 +30,25 @@ DEVICE_KEYS_TGT = ("target", "embedding_gt", "tgt_spk_idx")
 
 def render_split(dataset, out_dir: str, limit: int | None = None,
                  num_workers: int = 0) -> None:
+    """Materialize `dataset` to npz shards. Resumable: already-written
+    shards are skipped, so an interrupted render (or a second process)
+    continues where it stopped."""
     os.makedirs(out_dir, exist_ok=True)
     n = len(dataset) if limit is None else min(limit, len(dataset))
-
-    def render_one(i):
-        inputs, targets = dataset[i]
-        arrays = {}
-        for k in DEVICE_KEYS_IN:
-            if k in inputs:
-                arrays[f"in_{k}"] = np.asarray(inputs[k])
-        for k in DEVICE_KEYS_TGT:
-            if k in targets:
-                arrays[f"tgt_{k}"] = np.asarray(targets[k])
-        neg = targets.get("embedding_neg")
-        if neg is not None:
-            arrays["tgt_embedding_neg"] = np.stack(
-                [np.asarray(x) for x in neg])
-        np.savez(os.path.join(out_dir, f"{i:08d}.npz"), **arrays)
-
+    todo = [i for i in range(n)
+            if not os.path.exists(os.path.join(out_dir, f"{i:08d}.npz"))]
+    if not todo:
+        return
+    job = _RenderOne(dataset, out_dir)
     if num_workers > 0:
         from concurrent.futures import ProcessPoolExecutor
         import multiprocessing
         ctx = multiprocessing.get_context("spawn")
         with ProcessPoolExecutor(num_workers, mp_context=ctx) as pool:
-            list(pool.map(_RenderOne(dataset, out_dir), range(n)))
+            list(pool.map(job, todo, chunksize=4))
     else:
-        for i in range(n):
-            render_one(i)
+        for i in todo:
+            job(i)
 
 
 class _RenderOne:
@@ -77,7 +69,12 @@ class _RenderOne:
         if neg is not None:
             arrays["tgt_embedding_neg"] = np.stack(
                 [np.asarray(x) for x in neg])
-        np.savez(os.path.join(self.out_dir, f"{i:08d}.npz"), **arrays)
+        # atomic write: a crash mid-savez must not leave a truncated
+        # shard that a resumed render would then skip
+        path = os.path.join(self.out_dir, f"{i:08d}.npz")
+        tmp = path[:-4] + ".tmp.npz"  # np.savez appends .npz otherwise
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
 
 
 class PrerenderedDataset:
@@ -87,7 +84,8 @@ class PrerenderedDataset:
     def __init__(self, root: str, **_ignored) -> None:
         self.root = root
         self.files = sorted(
-            f for f in os.listdir(root) if f.endswith(".npz"))
+            f for f in os.listdir(root)
+            if f.endswith(".npz") and not f.endswith(".tmp.npz"))
 
     def __len__(self) -> int:
         return len(self.files)

@@ -30,27 +30,52 @@ def _speaker_embedding(spk: int, dim: int = 256) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 
+def _speaker_profile(spk: int):
+    """Per-speaker vocal 'anatomy', continuous so ANY speaker count
+    yields distinct voices (round 2 used f0 = 90 + 17*(spk%29), which
+    collides past 29 speakers and saturated the embedding task —
+    VERDICT r2 weak #2). f0 is log-uniform over ~85-320 Hz; two
+    formant-like resonances shape the harmonic envelope; vibrato rate/
+    depth and AM rate are speaker traits."""
+    rng = np.random.default_rng(880_000 + spk)
+    f0 = 85.0 * 2.0 ** rng.uniform(0.0, 1.9)
+    env = rng.uniform(0.2, 1.0, size=12) / np.arange(1, 13)
+    formants = rng.uniform(300.0, 3000.0, size=2)
+    form_bw = rng.uniform(150.0, 500.0, size=2)
+    form_gain = rng.uniform(1.0, 4.0, size=2)
+    vib_rate = rng.uniform(3.0, 7.0)
+    vib_depth = rng.uniform(0.004, 0.02)
+    am_rate = rng.uniform(1.5, 3.5)
+    return f0, env, formants, form_bw, form_gain, vib_rate, \
+        vib_depth, am_rate
+
+
 def _utterance(spk: int, utt_seed: int, n: int, sr: int) -> np.ndarray:
-    """A 'voice': harmonics of a per-speaker f0 with per-speaker
-    envelope, modulated per utterance."""
+    """A 'voice': harmonics of a per-speaker f0, shaped by per-speaker
+    formant resonances, modulated per utterance."""
     rng = np.random.default_rng(700_000 + 131 * spk + utt_seed)
-    f0 = 90.0 + 17.0 * (spk % 29)  # 90..566 Hz
+    (f0, env, formants, form_bw, form_gain, vib_rate, vib_depth,
+     am_rate) = _speaker_profile(spk)
     t = np.arange(n) / sr
-    vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(3, 7) * t
-                              + rng.uniform(0, 2 * np.pi))
-    phase0 = rng.uniform(0, 2 * np.pi, size=8)
-    env_rng = np.random.default_rng(880_000 + spk)
-    env = env_rng.uniform(0.2, 1.0, size=8) / np.arange(1, 9)
+    vib = 1.0 + vib_depth * np.sin(
+        2 * np.pi * rng.uniform(0.8, 1.2) * vib_rate * t
+        + rng.uniform(0, 2 * np.pi))
+    phase0 = rng.uniform(0, 2 * np.pi, size=12)
     sig = np.zeros(n)
-    for h in range(8):
+    for h in range(12):
         f = f0 * (h + 1)
         if f >= sr / 2:
             break
-        sig += env[h] * np.sin(2 * np.pi * f * np.cumsum(vib) / sr
-                               + phase0[h])
+        a = env[h]
+        for fc, bw, g in zip(formants, form_bw, form_gain):
+            a = a * (1.0 + g * np.exp(-((f - fc) ** 2)
+                                      / (2.0 * bw ** 2)))
+        sig += a * np.sin(2 * np.pi * f * np.cumsum(vib) / sr
+                          + phase0[h])
     # syllable-ish amplitude modulation
-    am = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t
-                              + rng.uniform(0, 2 * np.pi))
+    am = 0.55 + 0.45 * np.sin(
+        2 * np.pi * rng.uniform(0.8, 1.2) * am_rate * t
+        + rng.uniform(0, 2 * np.pi))
     sig = sig * am
     return (sig / (np.abs(sig).max() + 1e-9)).astype(np.float32)
 
@@ -147,17 +172,80 @@ class SyntheticTSEDataset:
         while len(emb_neg) < 2:  # fixed count for stacking
             emb_neg.append(np.zeros_like(emb_neg[-1]))
 
+        # ---- metadata fields, key-for-key with the real dataset ------
+        # (data/datasets.py:311-330; reference schema
+        # MixLibriSpeechNoisyEnrollNorm.py:349-376). Per-sample
+        # analyses in ts_hear_test key on these (input-SNR bins,
+        # speaker columns), so the synthetic corpus must populate them
+        # all — NaN/None placeholders would silently blank those axes.
+        from lookoncetohear_tpu.data.datasets import _np_si_snr
+        mixture_sisnr = _np_si_snr(target, mixture)
+        enroll_sisnr = _np_si_snr(enroll, enroll_clean)
+        max_shift = 16
+        corr = np.correlate(
+            target[0], target[1, max_shift:-max_shift], mode="valid")
+        tgt_shift = int(np.argmax(corr)) - max_shift
+
+        def _uttname(spk, us):
+            return f"synth-{int(spk)}-{int(us)}.flac"
+
+        # source_files mirrors jams.events: [bg] + one per fg event,
+        # padded with "None" to 3 fg slots (datasets.py:225-227)
+        source_files = ["synthetic_pink_noise"] + [
+            _uttname(s, u) for s, u in zip(spks, utt_seeds)]
+        while len(source_files) < 4:
+            source_files.append("None")
+        e_source_files = ["synthetic_pink_noise"] + [
+            _uttname(s, u) for s, u in zip(spks, e_us)]
+        while len(e_source_files) < 4:
+            e_source_files.append("None")
+        target_source_file = _uttname(tgt_spk, utt_seeds[tgt_idx])
+        enroll_clean_path = _uttname(tgt_spk, e_us[tgt_idx])
+
+        # one embedding per fg slot (zeros for the "None" pad), as
+        # datasets.py:230-237
+        mixture_embeddings = [
+            self.embeddings[int(s)].astype(np.float32) for s in spks]
+        while len(mixture_embeddings) < 3:
+            mixture_embeddings.append(
+                np.zeros(self.embed_dim, np.float32))
+
+        def _spk_info(s):
+            return f"F0={_speaker_profile(int(s))[0]:.0f}Hz"
+
+        # [(target, info)] + one entry per non-target fg slot
+        # (datasets.py:239-248): fixed length 3 for any 2-3 spk scene
+        speaker_info = [(str(tgt_spk), _spk_info(tgt_spk))]
+        for i, s in enumerate(spks):
+            if i != tgt_idx:
+                speaker_info.append((str(int(s)), _spk_info(s)))
+        while len(speaker_info) < 3:
+            speaker_info.append(("None", "None"))
+
+        # anechoic = the un-spatialized mono utterance (the real
+        # dataset stores the pre-simulation event audio, [1, 1, N])
+        enroll_anechoic = _utterance(tgt_spk, int(e_us[tgt_idx]),
+                                     self.n, self.sr) * gains[tgt_idx]
+
         inputs = {
             "mixture": mixture.astype(np.float32),
+            "mixture_sisnr": np.float32(mixture_sisnr),
+            "mixture_embeddings": mixture_embeddings,
             "enrollments": enroll[None].astype(np.float32),
             "enrollments_clean": enroll_clean[None].astype(np.float32),
             "enrollments_clean_anechoic":
-                enroll_clean[None].astype(np.float32),
+                enroll_anechoic[None, None].astype(np.float32),
+            "enrollments_clean_path": [enroll_clean_path],
             "enrollments_id": np.array([tgt_spk], np.int64),
-            "tgt_idx": np.int64(tgt_idx),
-            "tgt_shift": np.int64(0),
+            "enrollments_source_files": e_source_files,
+            "enrollments_sisnr": np.float32(enroll_sisnr),
             "tgt_ang_vel": np.float32(0.0),
             "tgt_enroll_error": np.float32(0.0),
+            "tgt_shift": np.int64(tgt_shift),
+            "tgt_idx": np.int64(tgt_idx),
+            "target_source_file": target_source_file,
+            "source_files": source_files,
+            "speaker_info": speaker_info,
         }
         targets = {
             "target": target.astype(np.float32),

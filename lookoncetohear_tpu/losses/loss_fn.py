@@ -88,9 +88,11 @@ class LossFn:
         elif name == "l1_mel":
             self._fn = L1_Mel()
         elif name == "cdpam":
-            raise ImportError(
-                "cdpam requires its pretrained perceptual network, which "
-                "is unavailable offline; choose another loss")
+            # constructs offline with random init; pretrained weights
+            # load iff $LOOKONCE_CDPAM_WEIGHTS points at a file
+            # (losses/cdpam.py — reference perceptual_losses.py:7-17)
+            from lookoncetohear_tpu.losses.cdpam import CDPAM
+            self._fn = CDPAM(**kwargs)
         else:
             raise AssertionError(
                 f"Invalid loss function used: Loss {name} not found")

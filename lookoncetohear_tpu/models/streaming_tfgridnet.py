@@ -80,6 +80,30 @@ class AttnProjection(nn.Module):
     def normalize(self, x):
         return self.norm(x)
 
+    def normalize_native(self, y5):
+        """Per-head LayerNorm WITHOUT the head-major transpose.
+
+        y5: [B, T, F, nh, dim] (projection-native). Numerically equal
+        to `normalize` applied to the [B, nh, T, F*dim] relayout: the
+        norm is over (F, dim) per (B, T, head), with the shared
+        [F*dim] scale/bias indexed (f, d). Keeping the projection's
+        layout is what makes the v2 int8 serving path relayout-free
+        (ops/attention.py 'v2' note)."""
+        b, t, f, nh, dim = y5.shape
+        if self.is_initializing():
+            # init trace: run the head-major form once so the compact
+            # LayerNorm creates its params (identical numerics)
+            y = y5.transpose(0, 3, 1, 2, 4).reshape(b, nh, t, f * dim)
+            y = self.normalize(y)
+            return y.reshape(b, nh, t, f, dim).transpose(0, 2, 3, 1, 4)
+        mu = jnp.mean(y5, axis=(2, 4), keepdims=True)
+        var = jnp.var(y5, axis=(2, 4), keepdims=True)
+        yn = (y5 - mu) / jnp.sqrt(var + self.norm.eps)
+        scale = self.norm.variables["params"]["scale"].reshape(f, dim)
+        bias = self.norm.variables["params"]["bias"].reshape(f, dim)
+        return yn * scale[None, None, :, None, :] \
+            + bias[None, None, :, None, :]
+
 
 class GridNetBlockStreaming(nn.Module):
     """One streaming GridNet block (reference tfgridnet_causal.py:
@@ -127,19 +151,24 @@ class GridNetBlockStreaming(nn.Module):
             "h": jnp.zeros((batch_size, f, h), dtype),
             "c": jnp.zeros((batch_size, f, h), dtype),
         }
-        if self.use_attn:
+        if self.use_attn and kv_dtype == jnp.int8:
+            # v2 projection-native int8 ring: flat (f, h, d) slots +
+            # per-(row, slot, head) scales (ops/attention.py 'v2')
+            state["k_buf"] = jnp.zeros(
+                (batch_size, w - 1, f * nh * e), jnp.int8)
+            state["v_buf"] = jnp.zeros(
+                (batch_size, w - 1, f * nh * vd), jnp.int8)
+            state["k_scale"] = jnp.zeros(
+                (batch_size, w - 1, nh), jnp.float32)
+            state["v_scale"] = jnp.zeros(
+                (batch_size, w - 1, nh), jnp.float32)
+            state["pos"] = jnp.zeros((), jnp.int32)
+        elif self.use_attn:
             state["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e),
                                        kv_dtype)
             state["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd),
                                        kv_dtype)
             state["pos"] = jnp.zeros((), jnp.int32)
-            if kv_dtype == jnp.int8:
-                # per-slot symmetric quantization scales (streaming
-                # ring path only)
-                state["k_scale"] = jnp.zeros(
-                    (batch_size, nh, w - 1), jnp.float32)
-                state["v_scale"] = jnp.zeros(
-                    (batch_size, nh, w - 1), jnp.float32)
         return state
 
     def _heads(self, proj: AttnProjection, x, dim):
@@ -151,6 +180,88 @@ class GridNetBlockStreaming(nn.Module):
         y = y.reshape(b, t, f, self.n_head, dim)
         y = y.transpose(0, 3, 1, 2, 4).reshape(b, self.n_head, t, f * dim)
         return proj.normalize(y)
+
+    def project_qkv(self, z):
+        """z: [B, T, F, C] -> per-head normalized (q, k, v), each
+        [B, nh, T, F*dim] (dim = e_dim for q/k, v_dim for v)."""
+        q = self._heads(self.attn_q, z, self.e_dim)
+        k = self._heads(self.attn_k, z, self.e_dim)
+        v = self._heads(self.attn_v, z, self.v_dim)
+        return q, k, v
+
+    def output_projection(self, out):
+        """Merged-heads attention output [B, T, F, nh*v_dim] ->
+        pre-residual [B, T, F, C] (Linear + PReLU + LayerNorm over
+        the flattened (F*C) frame)."""
+        b, t, f, _ = out.shape
+        c = self.emb_dim
+        p = self.attn_proj.project(out)  # [B, T, F, C]
+        p = self.attn_proj.normalize(p.reshape(b, t, f * c))
+        return p.reshape(b, t, f, c)
+
+    def attention_section(self, z, state):
+        """The full t==1 streaming attention sub-graph: QKV projection
+        + per-head norms + ring attention + single-slot ring write +
+        output projection. z: [B, 1, F, C] -> (pre-residual p
+        [B, 1, F, C], new_state with updated attention keys).
+
+        Exposed as its own method so serving kernels and perf probes
+        address exactly this section (the remaining serving-RTF gap,
+        PERF.md round 2)."""
+        b, t, f, c = z.shape
+        assert t == 1, "attention_section is the streaming (t==1) path"
+        nh, e, vd, w = self.n_head, self.e_dim, self.v_dim, \
+            self.local_atten_len
+        new_state = dict(state)
+        pos = state["pos"]
+
+        if state["k_buf"].dtype == jnp.int8:
+            # v2 projection-native int8 path (ops/attention.py 'v2'
+            # note): slots stored exactly as the projections emit them
+            # — no head transpose, per-(row, slot, head) scales, and
+            # the ring write fused into the attention op (aliased
+            # in-kernel on TPU, dynamic_update_slice on CPU).
+            def heads_native(proj, x, dim):
+                y = proj.project(x)  # [B, 1, F, dim*nh]
+                y = y.reshape(b, 1, f, nh, dim)
+                return proj.normalize_native(y)
+            qn = heads_native(self.attn_q, z, e).reshape(b, f * nh * e)
+            kn = heads_native(self.attn_k, z, e).reshape(b, f * nh * e)
+            vn = heads_native(self.attn_v, z, vd).reshape(
+                b, f * nh * vd)
+            (out, new_state["k_buf"], new_state["k_scale"],
+             new_state["v_buf"], new_state["v_scale"],
+             new_state["pos"]) = att_ops.ring_attend_int8_native(
+                qn, kn, vn, state["k_buf"], state["k_scale"],
+                state["v_buf"], state["v_scale"], pos, f=f, n_head=nh)
+            # native out columns are already (f, head*vd) == the
+            # merged-head channel order
+            out = out.reshape(b, 1, f, nh * vd)
+            return self.output_projection(out), new_state
+
+        q, k, v = self.project_qkv(z)
+        qf = q.reshape(b * nh, f * e)
+        kf = k.reshape(b * nh, f * e)
+        vf = v.reshape(b * nh, f * vd)
+        k_buf = state["k_buf"].reshape(b * nh, w - 1, f * e)
+        v_buf = state["v_buf"].reshape(b * nh, w - 1, f * vd)
+        # Single-slot ring writes are issued DIRECTLY on the carried
+        # 4-D state arrays (no reshape between the carry and its
+        # dynamic_update_slice) so XLA aliases the scan carry in
+        # place; a reshape in the write path forces a full
+        # ~25 MB/block buffer copy every 8 ms step.
+        out = att_ops.ring_attend(qf, kf, vf, k_buf, v_buf)
+        kvdt = state["k_buf"].dtype
+        new_state["k_buf"] = jax.lax.dynamic_update_slice_in_dim(
+            state["k_buf"],
+            kf.reshape(b, nh, 1, f * e).astype(kvdt), pos, axis=2)
+        new_state["v_buf"] = jax.lax.dynamic_update_slice_in_dim(
+            state["v_buf"],
+            vf.reshape(b, nh, 1, f * vd).astype(kvdt), pos, axis=2)
+        new_state["pos"] = (pos + 1) % (w - 1)
+        out = out.reshape(b, nh, 1, f, vd)
+        out = out.transpose(0, 2, 3, 1, 4).reshape(b, 1, f, nh * vd)
+        return self.output_projection(out), new_state
 
     def __call__(self, x, state):
         """x: [B, C, T, F]; returns ([B, C, T, F], new_state)."""
@@ -184,11 +295,17 @@ class GridNetBlockStreaming(nn.Module):
         if not self.use_attn:
             return z.transpose(0, 3, 1, 2), new_state
 
-        # --- causal windowed attention ---------------------------------
+        if t == 1:
+            # streaming step: the whole attention sub-graph (incl. the
+            # reshape-free single-slot ring writes and optional int8
+            # K/V) lives in attention_section
+            p, attn_state = self.attention_section(z, new_state)
+            out = z + p
+            return out.transpose(0, 3, 1, 2), attn_state
+
+        # --- causal windowed attention (full-utterance paths) ----------
         e, vd, w = self.e_dim, self.v_dim, self.local_atten_len
-        q = self._heads(self.attn_q, z, e)  # [B, nh, T, F*E]
-        k = self._heads(self.attn_k, z, e)
-        v = self._heads(self.attn_v, z, vd)  # [B, nh, T, F*V]
+        q, k, v = self.project_qkv(z)  # [B, nh, T, F*dim]
 
         qf = q.reshape(b * nh, t, f * e)
         kf = k.reshape(b * nh, t, f * e)
@@ -196,55 +313,8 @@ class GridNetBlockStreaming(nn.Module):
         k_buf = state["k_buf"].reshape(b * nh, w - 1, f * e)
         v_buf = state["v_buf"].reshape(b * nh, w - 1, f * vd)
 
-        # For the t == 1 streaming paths the single-slot ring write is
-        # issued DIRECTLY on the 4-D state arrays (no reshape between
-        # the carried buffer and its dynamic_update_slice) so XLA can
-        # alias the scan carry in place — a reshape in the write path
-        # forces a full ~25 MB/block buffer copy every 8 ms step.
-        pos = state["pos"]
         nk = nvb = None
-        if t == 1 and state["k_buf"].dtype == jnp.int8:
-            # streaming with int8-quantized K/V history: quarter the
-            # HBM floor of the step (per-slot scales in the state)
-            ksc = state["k_scale"].reshape(b * nh, w - 1)
-            vsc = state["v_scale"].reshape(b * nh, w - 1)
-            out = att_ops.ring_attend_int8(
-                qf[:, 0], kf[:, 0], vf[:, 0], k_buf, ksc, v_buf, vsc)
-            k8, ks_n = att_ops.quantize_rows(kf[:, 0])
-            v8, vs_n = att_ops.quantize_rows(vf[:, 0])
-            new_state["k_buf"] = jax.lax.dynamic_update_slice_in_dim(
-                state["k_buf"], k8.reshape(b, nh, 1, f * e), pos,
-                axis=2)
-            new_state["v_buf"] = jax.lax.dynamic_update_slice_in_dim(
-                state["v_buf"], v8.reshape(b, nh, 1, f * vd), pos,
-                axis=2)
-            new_state["k_scale"] = jax.lax.dynamic_update_slice_in_dim(
-                state["k_scale"],
-                ks_n.reshape(b, nh, 1).astype(state["k_scale"].dtype),
-                pos, axis=2)
-            new_state["v_scale"] = jax.lax.dynamic_update_slice_in_dim(
-                state["v_scale"],
-                vs_n.reshape(b, nh, 1).astype(state["v_scale"].dtype),
-                pos, axis=2)
-            new_state["pos"] = (pos + 1) % (w - 1)
-            out = out[:, None]
-        elif t == 1:
-            # streaming: ring-buffer update (1-slot write; attention
-            # over an unordered window is permutation-invariant)
-            out = att_ops.ring_attend(
-                qf[:, 0], kf[:, 0], vf[:, 0], k_buf, v_buf)
-            kvdt = state["k_buf"].dtype
-            new_state["k_buf"] = jax.lax.dynamic_update_slice_in_dim(
-                state["k_buf"],
-                kf[:, 0].reshape(b, nh, 1, f * e).astype(kvdt), pos,
-                axis=2)
-            new_state["v_buf"] = jax.lax.dynamic_update_slice_in_dim(
-                state["v_buf"],
-                vf[:, 0].reshape(b, nh, 1, f * vd).astype(kvdt), pos,
-                axis=2)
-            new_state["pos"] = (pos + 1) % (w - 1)
-            out = out[:, None]
-        elif self.chunk_causal:
+        if self.chunk_causal:
             assert state["k_buf"].dtype != jnp.int8, \
                 "int8 K/V is a streaming-step (t==1) serving feature"
             out, nk, nvb = att_ops.local_attention(
@@ -274,12 +344,7 @@ class GridNetBlockStreaming(nn.Module):
         out = out.reshape(b, nh, t, f, vd)
         out = out.transpose(0, 2, 3, 1, 4).reshape(b, t, f, nh * vd)
 
-        # Output projection: Linear + PReLU + LayerNorm over (F*C).
-        p = self.attn_proj.project(out)  # [B, T, F, C]
-        p = self.attn_proj.normalize(p.reshape(b, t, f * c))
-        p = p.reshape(b, t, f, c)
-
-        out = z + p
+        out = z + self.output_projection(out)
         return out.transpose(0, 3, 1, 2), new_state
 
 
@@ -304,17 +369,23 @@ def init_stream_state(batch_size: int, *, n_srcs: int, n_fft: int,
             "h": jnp.zeros((batch_size, f, h), dtype),
             "c": jnp.zeros((batch_size, f, h), dtype),
         }
-        if use_attn:
+        if use_attn and kv_dtype == jnp.int8:
+            # v2 projection-native layout (ops/attention.py 'v2')
+            s["k_buf"] = jnp.zeros(
+                (batch_size, w - 1, f * nh * e), jnp.int8)
+            s["v_buf"] = jnp.zeros(
+                (batch_size, w - 1, f * nh * vd), jnp.int8)
+            s["k_scale"] = jnp.zeros(
+                (batch_size, w - 1, nh), jnp.float32)
+            s["v_scale"] = jnp.zeros(
+                (batch_size, w - 1, nh), jnp.float32)
+            s["pos"] = jnp.zeros((), jnp.int32)
+        elif use_attn:
             s["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e),
                                    kv_dtype)
             s["v_buf"] = jnp.zeros((batch_size, nh, w - 1, f * vd),
                                    kv_dtype)
             s["pos"] = jnp.zeros((), jnp.int32)
-            if kv_dtype == jnp.int8:
-                s["k_scale"] = jnp.zeros(
-                    (batch_size, nh, w - 1), jnp.float32)
-                s["v_scale"] = jnp.zeros(
-                    (batch_size, nh, w - 1), jnp.float32)
         return s
 
     return {

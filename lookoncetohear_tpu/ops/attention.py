@@ -191,11 +191,12 @@ def ring_attend_int8(q_t, k_t, v_t, k_buf, k_scale, v_buf, v_scale):
       v_buf: [B, W-1, Dv] int8, v_scale: [B, W-1] f32
     Returns out [B, Dv].
     """
-    from lookoncetohear_tpu.ops.pallas_lstm import lstm_pallas_enabled
+    from lookoncetohear_tpu.ops.pallas_attention import \
+        attn_int8_pallas_enabled
     cdt = q_t.dtype
     dk = q_t.shape[-1]
     scale = float(1.0 / np.sqrt(dk))
-    if lstm_pallas_enabled():
+    if attn_int8_pallas_enabled():
         # fused single-pass kernel (scores+softmax+weighted-V in VMEM)
         from lookoncetohear_tpu.ops.pallas_attention import \
             attention_step_int8_pallas
@@ -238,6 +239,94 @@ def local_attention_step_ring_int8(q_t, k_t, v_t, k_buf, k_scale,
         v_scale, vs[:, None].astype(v_scale.dtype), pos, axis=1)
     new_pos = (pos + 1) % w
     return out, new_k, new_ks, new_v, new_vs, new_pos
+
+
+# --- projection-native ("v2") int8 ring layout --------------------------
+#
+# The round-2 int8 ring stored K/V head-major ([B*nh, W-1, F*dim]),
+# which forced (a) a [B, T, F, nh, dim] -> [B, nh, T, F*dim] transpose
+# of every projection every step and (b) kernels whose score reduction runs
+# over the 582-wide LANE axis — measured at ~16 GB/s on this chip
+# (PERF.md roofline). v2 stores each ring slot exactly as the
+# projection emits it — flat (f, h, d) columns, [B, W-1, F*nh*dim] —
+# so no transpose ever happens and kernels reduce over F on the
+# SUBLANE axis with per-head lane segments handled by tiny matmuls.
+# Quantization scales are per (row, slot, head): [B, W-1, nh].
+
+
+def quantize_slot_native(x: jnp.ndarray, f: int, n_head: int):
+    """Symmetric per-(row, head) int8 quantization of a projection-
+    native slot. x: [B, F*nh*dim], column order (f, h, d) ->
+    (q8 int8 same shape, scale [B, nh] f32)."""
+    b, dflat = x.shape
+    dim = dflat // (f * n_head)
+    x4 = x.astype(jnp.float32).reshape(b, f, n_head, dim)
+    amax = jnp.max(jnp.abs(x4), axis=(1, 3))  # [B, nh]
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(x4 / scale[:, None, :, None]), -127, 127)
+    return q8.astype(jnp.int8).reshape(b, dflat), scale
+
+
+def ring_attend_int8_native(q_t, k_t, v_t, k_buf, k_scale, v_buf,
+                            v_scale, pos, *, f: int, n_head: int):
+    """Streaming int8 ring attention in the projection-native layout,
+    INCLUDING the single-slot ring write.
+
+      q_t/k_t: [B, F*nh*E], v_t: [B, F*nh*V]  (compute dtype, flat
+        (f, h, d) column order — what the per-head-normalized
+        projections emit, reshape-free)
+      k_buf: [B, W-1, F*nh*E] int8, k_scale: [B, W-1, nh] f32
+      v_buf: [B, W-1, F*nh*V] int8, v_scale: [B, W-1, nh] f32
+      pos: scalar int32 ring cursor
+
+    Returns (out [B, F*nh*V], new_k_buf, new_k_scale, new_v_buf,
+    new_v_scale, new_pos). Dispatches to the fused Pallas kernel on
+    TPU (in-kernel aliased slot write); this XLA form is the
+    CPU/interpret fallback and the numerics reference.
+    """
+    from lookoncetohear_tpu.ops.pallas_attention import (
+        attn_int8_pallas_enabled, attention_section_int8_pallas)
+    if attn_int8_pallas_enabled():
+        return attention_section_int8_pallas(
+            q_t, k_t, v_t, k_buf, k_scale, v_buf, v_scale, pos,
+            f=f, n_head=n_head)
+
+    cdt = q_t.dtype
+    b, dk = q_t.shape
+    dv = v_t.shape[-1]
+    w1 = k_buf.shape[1]
+    e = dk // (f * n_head)
+    vd = dv // (f * n_head)
+    scale = float(1.0 / np.sqrt(dk // n_head))
+
+    q5 = q_t.reshape(b, f, n_head, e)
+    k5h = k_buf.astype(cdt).reshape(b, w1, f, n_head, e)
+    s4 = jnp.einsum("bwfhe,bfhe->bwh", k5h, q5)
+    s4 = s4 * k_scale.astype(cdt) * scale  # [B, W-1, nh]
+    s_cur = jnp.einsum("bfhe,bfhe->bh", q5,
+                       k_t.reshape(b, f, n_head, e)) * scale
+    m = jnp.maximum(jnp.max(s4, axis=1), s_cur)  # [B, nh]
+    e_h = jnp.exp(s4 - m[:, None, :])
+    e_c = jnp.exp(s_cur - m)
+    den = jnp.sum(e_h, axis=1) + e_c  # [B, nh]
+    wgt = e_h * v_scale.astype(cdt)  # [B, W-1, nh]
+    v5h = v_buf.astype(cdt).reshape(b, w1, f, n_head, vd)
+    out = jnp.einsum("bwh,bwfhv->bfhv", wgt, v5h)
+    out = out + e_c[:, None, :, None] * v_t.reshape(b, f, n_head, vd)
+    out = out / den[:, None, :, None]
+    out = out.reshape(b, dv)
+
+    k8, ks = quantize_slot_native(k_t, f, n_head)
+    v8, vs = quantize_slot_native(v_t, f, n_head)
+    new_k = jax.lax.dynamic_update_slice_in_dim(
+        k_buf, k8[:, None], pos, axis=1)
+    new_v = jax.lax.dynamic_update_slice_in_dim(
+        v_buf, v8[:, None], pos, axis=1)
+    new_ks = jax.lax.dynamic_update_slice_in_dim(
+        k_scale, ks[:, None].astype(k_scale.dtype), pos, axis=1)
+    new_vs = jax.lax.dynamic_update_slice_in_dim(
+        v_scale, vs[:, None].astype(v_scale.dtype), pos, axis=1)
+    return out, new_k, new_ks, new_v, new_vs, (pos + 1) % w1
 
 
 def causal_banded_attention_full(q, k, v, window):

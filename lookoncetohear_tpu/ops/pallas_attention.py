@@ -179,6 +179,224 @@ def attention_step_int8_pallas(q_t, k_t, v_t, k_buf, k_scale, v_buf,
     return out[:b]
 
 
+# --- projection-native ("v2") fused int8 section kernel -----------------
+#
+# Layout rationale (ops/attention.py "v2" note + PERF.md roofline): the
+# r2 kernel reduced scores over a 582-wide LANE axis — the measured
+# ~16 GB/s pathology of this chip — and the model paid a
+# [B,T,F,nh,dim] -> [B,nh,T,F*dim] relayout per projection per step.
+# Here every ring slot is stored exactly as the projections emit it
+# (flat (f, h, d) columns), the big reductions run over W/F via tiny
+# MXU segment matmuls (lane-segment sums become dot(segments)), and
+# the ring buffers stay in HBM: each 8 ms step DMA-reads the W-1 slots
+# once, slab-by-slab double-buffered, and DMA-writes only the ONE new
+# slot back through input/output aliasing — read 26.8 MB, write
+# ~0.6 MB, nothing else round-trips.
+
+
+def _head_segments(d_flat: int, f: int, n_head: int):
+    """[D, nh] 0/1 matrix: column d belongs to head (d % (nh*dim))
+    // dim, for flat (f, h, d) column order."""
+    per_f = d_flat // f
+    dim = per_f // n_head
+    col = jax.lax.broadcasted_iota(jnp.int32, (d_flat, n_head), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (d_flat, n_head), 1)
+    return ((col % per_f) // dim == head).astype(jnp.float32)
+
+
+def _section_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref, vs_ref,
+                    kbuf_hbm, vbuf_hbm,
+                    out_ref, nks_ref, nvs_ref, kbuf_out, vbuf_out,
+                    kslab, vslab, k8_ref, v8_ref, sems, wsems, *,
+                    f: int, n_head: int, bb: int, w_chunk: int):
+    b, dk = q_ref.shape
+    dv = vt_ref.shape[1]
+    w1 = ks_ref.shape[1]
+    e = dk // (f * n_head)
+    inv = float(1.0 / np.sqrt(f * e))
+    n_slabs = b // bb
+    segk = _head_segments(dk, f, n_head)   # [DK, nh]
+    segv = _head_segments(dv, f, n_head)   # [DV, nh]
+    pos = pos_ref[0]
+
+    # ring-buffer scales: copy through, then update the pos column
+    nks_ref[...] = ks_ref[...]
+    nvs_ref[...] = vs_ref[...]
+
+    def rdma(kind, slot, slab):
+        src = (kbuf_hbm if kind == 0 else vbuf_hbm)
+        dst = (kslab if kind == 0 else vslab)
+        return pltpu.make_async_copy(
+            src.at[pl.ds(slab * bb, bb)], dst.at[slot],
+            sems.at[kind, slot])
+
+    rdma(0, 0, 0).start()
+    rdma(1, 0, 0).start()
+
+    def slab_body(s, _):
+        slot = jax.lax.rem(s, 2)
+        nxt = jax.lax.rem(s + 1, 2)
+
+        @pl.when(s + 1 < n_slabs)
+        def _():
+            rdma(0, nxt, s + 1).start()
+            rdma(1, nxt, s + 1).start()
+
+        rdma(0, slot, s).wait()
+        rdma(1, slot, s).wait()
+
+        row = pl.ds(s * bb, bb)
+        q_s = q_ref[row, :].astype(jnp.float32)      # [bb, DK]
+        kt_s = kt_ref[row, :].astype(jnp.float32)
+        vt_s = vt_ref[row, :].astype(jnp.float32)    # [bb, DV]
+
+        # ---- scores over the ring, chunked along W ------------------
+        parts = []
+        for w0 in range(0, w1, w_chunk):
+            wc = min(w_chunk, w1 - w0)
+            kb = kslab[slot, :, pl.ds(w0, wc), :].astype(jnp.float32)
+            prod = kb * q_s[:, None, :]              # [bb, wc, DK]
+            parts.append(
+                jax.lax.dot(prod.reshape(bb * wc, dk), segk)
+                .reshape(bb, wc, n_head))
+        s4 = jnp.concatenate(parts, axis=1)          # [bb, W1, nh]
+        s4 = s4 * ks_ref[row, :, :] * inv
+        s_cur = jax.lax.dot(kt_s * q_s, segk) * inv  # [bb, nh]
+
+        m = jnp.maximum(jnp.max(s4, axis=1), s_cur)
+        e_h = jnp.exp(s4 - m[:, None, :])            # [bb, W1, nh]
+        e_c = jnp.exp(s_cur - m)                     # [bb, nh]
+        den = jnp.sum(e_h, axis=1) + e_c
+        wgt = e_h * vs_ref[row, :, :]                # [bb, W1, nh]
+
+        # ---- weighted V, chunked along W ----------------------------
+        outv = e_c @ segv.T * 0.0                    # [bb, DV] zeros
+        for w0 in range(0, w1, w_chunk):
+            wc = min(w_chunk, w1 - w0)
+            vb = vslab[slot, :, pl.ds(w0, wc), :].astype(jnp.float32)
+            wexp = jax.lax.dot(
+                wgt[:, w0:w0 + wc, :].reshape(bb * wc, n_head),
+                segv.T).reshape(bb, wc, dv)
+            outv = outv + jnp.sum(vb * wexp, axis=1)
+        outv = outv + vt_s * (e_c @ segv.T)
+        outv = outv / (den @ segv.T)
+        out_ref[row, :] = outv.astype(out_ref.dtype)
+
+        # ---- quantize the new slot + aliased ring write -------------
+        def quant(x_s, d_flat, seg):
+            dim = d_flat // (f * n_head)
+            x3 = x_s.reshape(bb, f, n_head * dim)
+            amax = []
+            for h in range(n_head):
+                sl = jnp.abs(x3[:, :, h * dim:(h + 1) * dim])
+                amax.append(jnp.max(sl, axis=(1, 2))[:, None])
+            amax = jnp.concatenate(amax, axis=1)     # [bb, nh]
+            sc = jnp.maximum(amax, 1e-12) / 127.0
+            lane_sc = sc @ seg.T                     # [bb, d_flat]
+            q8 = jnp.clip(jnp.round(x_s / lane_sc), -127, 127)
+            return q8.astype(jnp.int8), sc
+
+        k8, k_sc = quant(kt_s, dk, segk)
+        v8, v_sc = quant(vt_s, dv, segv)
+        k8_ref[slot] = k8
+        v8_ref[slot] = v8
+        nks_ref[row, pl.ds(pos, 1), :] = k_sc[:, None, :]
+        nvs_ref[row, pl.ds(pos, 1), :] = v_sc[:, None, :]
+        kw = pltpu.make_async_copy(
+            k8_ref.at[slot], kbuf_out.at[pl.ds(s * bb, bb), pos],
+            wsems.at[0, slot])
+        vw = pltpu.make_async_copy(
+            v8_ref.at[slot], vbuf_out.at[pl.ds(s * bb, bb), pos],
+            wsems.at[1, slot])
+        kw.start()
+        vw.start()
+        # small (~70 KB) writes: wait in place so the parity scratch
+        # is free for slab s+2 (reads stay double-buffered — they are
+        # the 26.8 MB that matters)
+        kw.wait()
+        vw.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "n_head", "block_rows", "w_chunk",
+                              "interpret"))
+def attention_section_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
+                                  v_buf, v_scale, pos, *, f: int,
+                                  n_head: int, block_rows: int = 8,
+                                  w_chunk: int = 7,
+                                  interpret: bool = False):
+    """Fused v2 int8 ring attention step (contract of
+    ops.attention.ring_attend_int8_native, Pallas TPU): scores ->
+    softmax -> weighted-V -> quantize -> single-slot ring write, with
+    the int8 ring buffers HBM-resident and aliased in place."""
+    b, dk = q_t.shape
+    dv = v_t.shape[-1]
+    w1 = k_buf.shape[1]
+    bb = min(block_rows, b)
+    pad = (-b) % bb
+    if pad:
+        q_t = jnp.pad(q_t, ((0, pad), (0, 0)))
+        k_t = jnp.pad(k_t, ((0, pad), (0, 0)))
+        v_t = jnp.pad(v_t, ((0, pad), (0, 0)))
+        k_buf = jnp.pad(k_buf, ((0, pad), (0, 0), (0, 0)))
+        k_scale = jnp.pad(k_scale, ((0, pad), (0, 0), (0, 0)))
+        v_buf = jnp.pad(v_buf, ((0, pad), (0, 0), (0, 0)))
+        v_scale = jnp.pad(v_scale, ((0, pad), (0, 0), (0, 0)))
+    bp = b + pad
+
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    kernel = functools.partial(_section_kernel, f=f, n_head=n_head,
+                               bb=bb, w_chunk=w_chunk)
+    out, nks, nvs, nkb, nvb = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pos
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k_scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_scale
+            pl.BlockSpec(memory_space=pl.ANY),    # k_buf (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # v_buf (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # out
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # new k_scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # new v_scale
+            pl.BlockSpec(memory_space=pl.ANY),    # new k_buf
+            pl.BlockSpec(memory_space=pl.ANY),    # new v_buf
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, dv), q_t.dtype),
+            jax.ShapeDtypeStruct((bp, w1, k_scale.shape[-1]),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((bp, w1, v_scale.shape[-1]),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((bp, w1, dk), jnp.int8),
+            jax.ShapeDtypeStruct((bp, w1, dv), jnp.int8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bb, w1, dk), jnp.int8),   # kslab
+            pltpu.VMEM((2, bb, w1, dv), jnp.int8),   # vslab
+            pltpu.VMEM((2, bb, dk), jnp.int8),       # k8 write buf
+            pltpu.VMEM((2, bb, dv), jnp.int8),       # v8 write buf
+            pltpu.SemaphoreType.DMA((2, 2)),         # read sems
+            pltpu.SemaphoreType.DMA((2, 2)),         # write sems
+        ],
+        input_output_aliases={6: 3, 7: 4},
+        interpret=interpret,
+    )(pos_arr, q_t, k_t, v_t,
+      k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
+      k_buf, v_buf)
+    if pad:
+        out, nks, nvs = out[:b], nks[:b], nvs[:b]
+        nkb, nvb = nkb[:b], nvb[:b]
+    return out, nkb, nks, nvb, nvs, (jnp.asarray(pos) + 1) % w1
+
+
 def pallas_enabled() -> bool:
     """Opt-in (LOOKONCE_PALLAS=1) and TPU-only. Measured on v5e, the
     XLA batched-GEMV path matches this kernel inside the full step
@@ -186,6 +404,27 @@ def pallas_enabled() -> bool:
     alternative path rather than the default."""
     import os
     if not os.environ.get("LOOKONCE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def attn_int8_pallas_enabled() -> bool:
+    """Gate for the fused int8 attention kernel: default-on on real
+    TPUs (it is the measured winner there), off on CPU, and disabled
+    by LOOKONCE_NO_PALLAS=1 — the same kill switch as the fused LSTM
+    but checked through this dedicated helper so each op's flag
+    semantics stay independent and documented.
+
+    Summary of the kernel knobs:
+      LOOKONCE_PALLAS=1     opt IN to the f32/bf16 attention kernel
+      LOOKONCE_NO_PALLAS=1  opt OUT of the default-on fused kernels
+                            (int8 attention, fused BiLSTM)
+    """
+    import os
+    if os.environ.get("LOOKONCE_NO_PALLAS"):
         return False
     try:
         return jax.default_backend() not in ("cpu",)

@@ -62,6 +62,7 @@ class StreamingEngine:
 
         assert self.nfft - self.chunk <= self.chunk, \
             "lookahead pad must not exceed the chunk size"
+        self._kv_dtype = kv_dtype
         self.state = model.init_state(max_streams, dtype,
                                       kv_dtype=kv_dtype)
         # previous chunk; each analysis window = [prev_chunk ;
@@ -81,6 +82,7 @@ class StreamingEngine:
         # frame 0 is [chunk_k ; chunk_{k+1}[:pad]], like the reference
         # framing at net.py:54-66)
         self.primed = np.zeros(max_streams, bool)
+        self._pipeline: list = []  # in-flight outputs (throughput mode)
 
         @jax.jit
         def _step(params, embeds, state, tail, chunks, primed):
@@ -102,6 +104,7 @@ class StreamingEngine:
             return _mask_tree(state, keep), _mask_tree(tail, keep)
 
         self._step = _step
+        self._scan_step = _step  # same computation, reused under scan
         self._reset = _reset
 
     # -- stream management -------------------------------------------------
@@ -141,6 +144,32 @@ class StreamingEngine:
         self.primed |= self.active
         return y
 
+    def step_pipelined(self, chunks, depth: int = 4):
+        """Throughput mode: keep up to `depth` chunks in flight.
+
+        JAX dispatch is asynchronous — `step` already returns before
+        the device finishes — but a caller that fetches every output
+        immediately serializes host<->device transfers with compute.
+        This call enqueues the new chunk and returns the HOST result of
+        the step `depth` calls ago (None until the pipeline fills), so
+        transfer of step t-depth overlaps compute of step t. Per-chunk
+        latency grows by depth*step_time; throughput approaches pure
+        device rate (PERF.md: ~0.15 ms/step-slot pipelined vs 1.18 ms
+        single-chunk on the proxied link).
+        """
+        y = self.step(chunks)
+        self._pipeline.append(y)
+        if len(self._pipeline) > depth:
+            return np.asarray(self._pipeline.pop(0))
+        return None
+
+    def drain(self):
+        """Fetch every output still in flight (throughput mode tail).
+        Returns a list of [max_streams, n_srcs, chunk] host arrays."""
+        out = [np.asarray(y) for y in self._pipeline]
+        self._pipeline.clear()
+        return out
+
     # -- benchmarking ---------------------------------------------------------
 
     def benchmark(self, n_iters: int = 100, warmup: int = 20) -> dict:
@@ -167,5 +196,57 @@ class StreamingEngine:
             "p50_ms": float(np.percentile(lat, 50) * 1e3),
             "p99_ms": float(np.percentile(lat, 99) * 1e3),
             "rtf": float(np.median(lat) / chunk_s),
+            "streams": self.n,
+        }
+
+    def benchmark_device(self, n_short: int = 100, n_long: int = 500,
+                         repeats: int = 4) -> dict:
+        """True DEVICE per-chunk time through the ENGINE's own step
+        (active-mask + priming included, unlike bench.py which drives
+        model.step directly): an on-device `lax.scan` over `_step` at
+        two lengths, per-step = slope between them — the fixed
+        launch/transport cost of a proxied link cancels exactly
+        (PERF.md "Measurement methodology"). p50/p99 are over the
+        per-repeat slope samples. BASELINE.md:32's p50-per-chunk
+        metric comes from here."""
+        rng = np.random.default_rng(0)
+        primed = jnp.asarray(np.ones(self.n, bool))
+        model = self.model
+
+        @jax.jit
+        def run(state, tail, xs):
+            def f(carry, xc):
+                st, tl = carry
+                y, st, tl = self._scan_step(
+                    self.params, self.embeds, st, tl, xc, primed)
+                return (st, tl), y[:, 0, -1]
+            return jax.lax.scan(f, (state, tail), xs)
+
+        def timed(n):
+            state = model.init_state(self.n, self.dtype,
+                                     kv_dtype=self._kv_dtype)
+            tail = jnp.zeros_like(self.input_tail)
+            xs = jnp.asarray(rng.standard_normal(
+                (n, self.n, self.n_mics, self.chunk)), self.dtype)
+            _, ys = run(state, tail, xs)
+            np.asarray(ys)
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                _, ys = run(state, tail, xs)
+                np.asarray(ys)
+                times.append(time.perf_counter() - t0)
+            return times
+
+        ts, tl = timed(n_short), timed(n_long)
+        slopes = np.asarray(
+            [(b - a) / (n_long - n_short) for a, b in zip(ts, tl)])
+        chunk_s = self.chunk / 16000.0
+        per = float(np.min(slopes))
+        return {
+            "device_p50_ms": float(np.percentile(slopes, 50) * 1e3),
+            "device_p99_ms": float(np.percentile(slopes, 99) * 1e3),
+            "device_best_ms": per * 1e3,
+            "rtf": per / chunk_s,
             "streams": self.n,
         }

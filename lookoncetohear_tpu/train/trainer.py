@@ -71,8 +71,10 @@ class MetricsLogger:
 class Trainer:
     def __init__(self, task, run_dir: str, epochs: int = 100,
                  mesh=None, grad_clip: float | None = None,
-                 limit_batches: float = 1.0, seed: int = 42,
+                 limit_batches: float | int = 1.0, seed: int = 42,
                  table_logger=None) -> None:
+        """limit_batches: float = fraction of each split per epoch;
+        int != 1 = absolute number of batches (Lightning semantics)."""
         self.task = task
         self.run_dir = run_dir
         self.epochs = epochs
@@ -152,12 +154,24 @@ class Trainer:
         (reference evaluates full splits, src/trainer.py:86)."""
         limit = self.limit_batches
         n = len(dl)
-        max_batches = n if limit >= 1.0 else max(1, int(n * limit))
+        if isinstance(limit, int) and not isinstance(limit, bool) \
+                and limit != 1:
+            # integer limit = absolute batch count (Lightning's
+            # limit_*_batches int semantics); float = fraction
+            max_batches = min(n, limit)
+        else:
+            max_batches = n if limit >= 1.0 else max(1, int(n * limit))
         sh = batch_sharding(self.mesh)
 
         def pad(db):
             sizes = {v.shape[0] for v in db.values()
                      if hasattr(v, "shape") and v.ndim > 0}
+            if len(sizes) != 1:
+                raise ValueError(
+                    "eval batch arrays disagree on the leading (batch) "
+                    f"dim: {sorted(sizes)}; every device-batch array "
+                    "must be batch-major "
+                    f"(keys: {sorted(db)})")
             (b,) = sizes
             mask = np.zeros(pad_to, np.float32)
             mask[:b] = 1.0
@@ -215,7 +229,12 @@ class Trainer:
         for i, (batch, n) in enumerate(
                 self._device_batches(dl, epoch, pad_to=pad_to)):
             metrics = self._eval_step(params, batch, ep)
+            # table logging fetches global arrays to host; on
+            # multi-process runs those span non-addressable devices and
+            # the fetch raises — keep the feature single-process only
+            # (the reference's wandb tables are rank-0 cosmetics)
             if (self.table_logger is not None and i % 5 == 0
+                    and jax.process_count() == 1
                     and hasattr(self, "_log_embeddings")
                     and "enrollments_id" in batch):
                 tables = jax.device_get(self._log_embeddings(
@@ -227,13 +246,14 @@ class Trainer:
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * n
             total += n
-        if self.table_logger is not None:
+        if self.table_logger is not None and jax.process_index() == 0:
             self.table_logger.flush(self.run_dir, epoch, split)
         return {f"{split}/{k}": v / max(total, 1)
                 for k, v in sums.items()}
 
     def fit(self, train_dl: DataLoader, val_dl: DataLoader,
-            resume: bool = False, ckpt_path: str | None = None) -> None:
+            resume: bool = False, ckpt_path: str | None = None):
+        """Train; returns the final epoch's params pytree."""
         if self._train_step is None:
             self._build_steps()
         params, opt_state = self._init_state(train_dl)
@@ -296,7 +316,7 @@ class Trainer:
             if mon is not None:
                 self.ckpts.save_best(state, mon, epoch, step)
 
-        self._final_params = params
+        return params
 
     def test(self, test_dl: DataLoader,
              ckpt_path: str | None = None) -> dict:
@@ -340,9 +360,35 @@ def main(args, hparams) -> None:
 
     num_workers = min(getattr(hparams, "num_workers", 4), os.cpu_count())
 
+    # Render-ahead on-disk cache (VERDICT r2 #4: the device can do
+    # ~18 utt/s but on-the-fly host rendering fed it at 3-7 utt/s).
+    # Each split is materialized ONCE by a process pool — the TPU-side
+    # counterpart of the reference's 16 dataloader worker processes
+    # (reference configs/tsh.json:97) — and epochs afterwards stream
+    # mmap'd npz shards. Exact for the deterministic synthetic corpus
+    # (samples derive from (split, idx)); for epoch-varying train
+    # datasets this freezes one render per scene, like any offline
+    # pre-rendering.
+    prerender_dir = (getattr(args, "prerender", None)
+                     or getattr(hparams, "prerender_dir", None)
+                     or os.environ.get("LOOKONCE_PRERENDER"))
+
     def make_dl(which, batch_size, shuffle):
         ds_cls = utils.import_attr(getattr(hparams, f"{which}_dataset"))
         ds = ds_cls(**getattr(hparams, f"{which}_data_args"))
+        if prerender_dir:
+            from lookoncetohear_tpu.data.prep.prerender import (
+                PrerenderedDataset, render_split)
+            out = os.path.join(prerender_dir, which)
+            if jax.process_index() == 0:
+                t0 = time.time()
+                render_split(ds, out, num_workers=num_workers)
+                logging.info("prerender %s -> %s (%.1fs)", which, out,
+                             time.time() - t0)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(f"prerender_{which}")
+            ds = PrerenderedDataset(out)
         # val/test keep the ragged tail (drop_last only for training);
         # the eval loop pads + masks it (reference evaluates every
         # sample of a split, src/trainer.py:86)

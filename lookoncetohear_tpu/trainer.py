@@ -22,6 +22,13 @@ def parse_args():
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--frac", type=float, default=1.0,
                    help="fraction of batches per epoch (smoke runs)")
+    p.add_argument("--prerender", type=str, default=None,
+                   help="directory for a render-ahead on-disk cache: "
+                        "each split is materialized once (process "
+                        "pool), epochs then read mmap'd npz shards — "
+                        "makes training compute-bound (PERF.md). Also "
+                        "settable as config key 'prerender_dir' or env "
+                        "LOOKONCE_PRERENDER.")
     return p.parse_args()
 
 

@@ -210,3 +210,106 @@ class TestInt8Ring:
             attn[:, -1:] * vt
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestInt8NativeRing:
+    """Projection-native ('v2') int8 ring: flat (f, h, d) slots,
+    per-(row, slot, head) scales, fused slot write
+    (ops/attention.py ring_attend_int8_native + the fused Pallas
+    section kernel). The serving layout that removes the per-step
+    head transpose and the lane-axis reductions (PERF.md round 3)."""
+
+    F, NH, E, VD, W1, B = 5, 4, 3, 2, 6, 8
+
+    def _mk(self, seed=21):
+        rng = np.random.default_rng(seed)
+        dk = self.F * self.NH * self.E
+        dv = self.F * self.NH * self.VD
+        q = jnp.asarray(rng.standard_normal((self.B, dk)), jnp.float32)
+        kt = jnp.asarray(rng.standard_normal((self.B, dk)), jnp.float32)
+        vt = jnp.asarray(rng.standard_normal((self.B, dv)), jnp.float32)
+        kb = jnp.asarray(rng.integers(-127, 128, (self.B, self.W1, dk)),
+                         jnp.int8)
+        vb = jnp.asarray(rng.integers(-127, 128, (self.B, self.W1, dv)),
+                         jnp.int8)
+        ks = jnp.asarray(rng.uniform(1e-3, 2e-2,
+                                     (self.B, self.W1, self.NH)),
+                         jnp.float32)
+        vs = jnp.asarray(rng.uniform(1e-3, 2e-2,
+                                     (self.B, self.W1, self.NH)),
+                         jnp.float32)
+        return q, kt, vt, kb, ks, vb, vs
+
+    def _to_v1(self, x, dim):
+        """[B, F*NH*dim] flat (f, h, d) -> v1 rows [B*NH, F*dim]."""
+        x = np.asarray(x).reshape(self.B, self.F, self.NH, dim)
+        x = x.transpose(0, 2, 1, 3)
+        return jnp.asarray(x.reshape(self.B * self.NH, self.F * dim))
+
+    def test_native_matches_headmajor_v1_path(self):
+        """v2 == the round-2 head-major int8 path on the same data:
+        both quantize per (row, head) and compute f32 scores, so the
+        relayout must be the ONLY difference."""
+        q, kt, vt, kb, ks, vb, vs = self._mk()
+        pos = jnp.asarray(2, jnp.int32)
+        out, nkb, nks, nvb, nvs, npos = att.ring_attend_int8_native(
+            q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH)
+
+        # v1 rows: head-major flatten of the same buffers/frames
+        kb5 = np.asarray(kb).reshape(self.B, self.W1, self.F, self.NH,
+                                     self.E).transpose(0, 3, 1, 2, 4)
+        kb1 = jnp.asarray(kb5.reshape(self.B * self.NH, self.W1,
+                                      self.F * self.E))
+        vb5 = np.asarray(vb).reshape(self.B, self.W1, self.F, self.NH,
+                                     self.VD).transpose(0, 3, 1, 2, 4)
+        vb1 = jnp.asarray(vb5.reshape(self.B * self.NH, self.W1,
+                                      self.F * self.VD))
+        ks1 = jnp.asarray(np.asarray(ks).transpose(0, 2, 1).reshape(
+            self.B * self.NH, self.W1))
+        vs1 = jnp.asarray(np.asarray(vs).transpose(0, 2, 1).reshape(
+            self.B * self.NH, self.W1))
+        out1 = att.ring_attend_int8(
+            self._to_v1(q, self.E), self._to_v1(kt, self.E),
+            self._to_v1(vt, self.VD), kb1, ks1, vb1, vs1)
+        out1 = np.asarray(out1).reshape(self.B, self.NH, self.F,
+                                        self.VD).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(self.B, self.F, self.NH, self.VD),
+            out1, rtol=1e-4, atol=1e-5)
+
+        # ring write: slot `pos` holds the quantized current frame
+        deq = np.asarray(nkb)[:, 2].astype(np.float32).reshape(
+            self.B, self.F, self.NH, self.E)
+        sc = np.asarray(nks)[:, 2]
+        np.testing.assert_allclose(deq * sc[:, None, :, None],
+                                   np.asarray(kt).reshape(deq.shape),
+                                   atol=2e-2)
+        assert int(npos) == 3
+
+    def test_fused_kernel_matches_fallback(self):
+        """The fused Pallas section kernel (interpret) == the XLA
+        fallback, bit-exact on the int8 writes."""
+        from lookoncetohear_tpu.ops.pallas_attention import \
+            attention_section_int8_pallas
+        q, kt, vt, kb, ks, vb, vs = self._mk(seed=22)
+        pos = jnp.asarray(4, jnp.int32)
+        import os
+        os.environ["LOOKONCE_NO_PALLAS"] = "1"
+        try:
+            ref = att.ring_attend_int8_native(
+                q, kt, vt, kb, ks, vb, vs, pos, f=self.F,
+                n_head=self.NH)
+        finally:
+            del os.environ["LOOKONCE_NO_PALLAS"]
+        got = attention_section_int8_pallas(
+            q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH,
+            interpret=True, block_rows=4, w_chunk=4)
+        for name, a, b in zip(
+                ("out", "k_buf", "k_scale", "v_buf", "v_scale", "pos"),
+                ref, got):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype == np.int8:
+                np.testing.assert_array_equal(a, b, err_msg=name)
+            else:
+                np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
+                                           err_msg=name)

@@ -50,7 +50,7 @@ def _env():
     return env
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 class TestCLI:
     def test_trainer_cli_train_and_test(self, tmp_path):
         cfg = str(tmp_path / "cfg.json")
@@ -82,6 +82,26 @@ class TestCLI:
              "--config", cfg, "--run_dir", run_dir, "--test"],
             env=_env(), capture_output=True, text=True, timeout=900)
         assert r3.returncode == 0, r3.stderr[-3000:]
+
+    def test_trainer_cli_prerender_cache(self, tmp_path):
+        """--prerender materializes each split once (resumable npz
+        shards) and trains from the cache (VERDICT r2 #2: training
+        must be compute-bound, not render-bound)."""
+        cfg = str(tmp_path / "cfg.json")
+        with open(cfg, "w") as f:
+            json.dump(dict(TINY_CFG, num_workers=2), f)
+        run_dir = str(tmp_path / "runp")
+        cache = str(tmp_path / "cache")
+        r = subprocess.run(
+            [sys.executable, "-m", "lookoncetohear_tpu.trainer",
+             "--config", cfg, "--run_dir", run_dir,
+             "--prerender", cache],
+            env=_env(), capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.isdir(os.path.join(run_dir, "last.ckpt"))
+        # both consumed splits were materialized
+        assert len(os.listdir(os.path.join(cache, "train"))) == 8
+        assert len(os.listdir(os.path.join(cache, "val"))) == 11
 
     def test_launch_dry_run(self, tmp_path):
         lcfg = str(tmp_path / "launch.json")

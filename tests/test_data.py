@@ -201,6 +201,27 @@ class TestSyntheticDataset:
         c_after = np.abs(np.sum(resid * targets["target"]))
         assert c_after < 0.5 * c_before
 
+    def test_key_set_matches_real_dataset(self):
+        """VERDICT r2 weak #3: the synthetic corpus must emit the FULL
+        real-dataset schema (datasets.INPUT_KEYS/TARGET_KEYS), so
+        input-SNR-binned analyses and speaker columns work on it."""
+        from lookoncetohear_tpu.data.datasets import (INPUT_KEYS,
+                                                      TARGET_KEYS)
+        ds = SyntheticTSEDataset(dset="val", n_samples=2, duration=0.5)
+        inputs, targets = ds[0]
+        assert set(inputs) == set(INPUT_KEYS)
+        assert set(targets) == set(TARGET_KEYS)
+        # the analysis-critical numeric fields are finite, not NaN
+        assert np.isfinite(float(inputs["mixture_sisnr"]))
+        assert np.isfinite(float(inputs["enrollments_sisnr"]))
+        # fixed-cardinality metadata (collation + CSV layout contract)
+        assert len(inputs["source_files"]) == 4
+        assert len(inputs["enrollments_source_files"]) == 4
+        assert len(inputs["mixture_embeddings"]) == 3
+        assert len(inputs["speaker_info"]) == 3
+        assert inputs["enrollments_clean_anechoic"].shape == \
+            (1, 1, SR // 2)
+
     def test_embeddings_unit_norm_and_distinct(self):
         ds = SyntheticTSEDataset(dset="train", n_samples=8, duration=0.5)
         _, t = ds[0]
@@ -234,6 +255,30 @@ class TestLoader:
         batches = list(dl)
         assert len(batches) == 3
         assert batches[0][0]["mixture"].shape == (2, 2, SR // 4)
+
+    def test_process_workers_persistent_pool(self):
+        """Process workers (spawn) render correctly, the dataset ships
+        once per worker via the pool initializer, and the pool
+        persists across epochs (torch persistent_workers role)."""
+        ds = SyntheticTSEDataset(dset="val", n_samples=4, duration=0.25)
+        dl = DataLoader(ds, batch_size=2, num_workers=2,
+                        shard_across_processes=False,
+                        worker_type="process")
+        try:
+            b1 = list(dl)
+            pool1 = dl._pool
+            assert pool1 is not None
+            b2 = list(dl)  # second epoch reuses the same pool
+            assert dl._pool is pool1
+            assert len(b1) == len(b2) == 2
+            ref = collate([ds[0], ds[1]])
+            np.testing.assert_array_equal(b1[0][0]["mixture"],
+                                          ref[0]["mixture"])
+            np.testing.assert_array_equal(b2[0][0]["mixture"],
+                                          ref[0]["mixture"])
+        finally:
+            dl.close()
+        assert dl._pool is None
 
     def test_prefetch(self):
         ds = SyntheticTSEDataset(dset="val", n_samples=4, duration=0.25)
@@ -279,14 +324,24 @@ class TestGoldenSamples:
     (which would silently invalidate recorded training results)."""
 
     def test_val_sample0_checksums(self):
+        # re-frozen for the round-3 voice model (continuous per-speaker
+        # f0 + formant resonances, data/synthetic.py _speaker_profile);
+        # round-2 results were recorded against the old fixtures
         ds = SyntheticTSEDataset(dset="val", n_samples=2, duration=0.5)
         i, t = ds[0]
         assert abs(float(np.abs(i["mixture"]).sum())
-                   - 2186.931884765625) < 1e-2
+                   - 2306.254150390625) < 1e-2
         assert abs(float(np.abs(t["target"]).sum())
-                   - 1350.3377685546875) < 1e-2
+                   - 1016.3297729492188) < 1e-2
         assert abs(float(t["embedding_gt"].sum())
                    - 1.137817144393921) < 1e-4
+
+    def test_speaker_profiles_distinct_at_64(self):
+        """VERDICT r2 #3: >=64 distinct voices (the old f0 grid
+        collided past 29 speakers and capped embedding quality)."""
+        from lookoncetohear_tpu.data.synthetic import _speaker_profile
+        f0s = [_speaker_profile(s)[0] for s in range(64)]
+        assert len({round(f, 2) for f in f0s}) == 64
 
 
 class TestScaperCrossval:

@@ -51,7 +51,7 @@ print(f"OK p{pid}")
 """
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 def test_two_process_cluster_psum_and_shard(tmp_path):
     env_base = {**os.environ,
                 "LOOKONCE_COORDINATOR": "localhost:12931",

@@ -25,7 +25,7 @@ def _driver_env():
     return env
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 def test_dryrun_multichip_from_fresh_interpreter():
     code = ("import sys; sys.path.insert(0, %r); "
             "from __graft_entry__ import dryrun_multichip; "

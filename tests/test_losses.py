@@ -137,6 +137,94 @@ class TestLossFn:
             assert np.isfinite(v_diff) and v_diff > v_same, name
 
 
+class TestCDPAM:
+    """The re-derived CDPAM perceptual distance (losses/cdpam.py):
+    constructs offline, deterministic, correct metric axioms with
+    random weights; the gate guards only the pretrained-weights file
+    (VERDICT r2 missing #2)."""
+
+    def test_constructs_offline_via_registry(self):
+        fn = LossFn("cdpam")
+        assert fn.name == "cdpam"
+        assert fn._fn.pretrained is False
+
+    def test_zero_at_identity_symmetric_deterministic(self):
+        fn = LossFn("cdpam")
+        x = _rand(2, 2, 2048, seed=30)
+        y = _rand(2, 2, 2048, seed=31)
+        same = float(fn(jnp.asarray(x), jnp.asarray(x)))
+        assert abs(same) < 1e-8
+        d_xy = float(fn(jnp.asarray(x), jnp.asarray(y)))
+        d_yx = float(fn(jnp.asarray(y), jnp.asarray(x)))
+        assert np.isfinite(d_xy) and d_xy > 0
+        assert abs(d_xy - d_yx) < 1e-6
+        # deterministic across constructions (fixed seed)
+        fn2 = LossFn("cdpam")
+        assert abs(float(fn2(jnp.asarray(x), jnp.asarray(y))) - d_xy) \
+            < 1e-6
+
+    def test_differentiable(self):
+        import jax
+        fn = LossFn("cdpam")
+        x = jnp.asarray(_rand(1, 1, 1024, seed=32))
+        g = jnp.asarray(_rand(1, 1, 1024, seed=33))
+        grads = jax.grad(lambda e: fn(e, g))(x)
+        assert np.isfinite(np.asarray(grads)).all()
+        assert float(jnp.abs(grads).max()) > 0
+
+    def test_npz_weight_round_trip(self, tmp_path):
+        from lookoncetohear_tpu.losses.cdpam import CDPAM
+        a = CDPAM(seed=7)
+        p = str(tmp_path / "w.npz")
+        a.save(p)
+        b = CDPAM(weights=p, seed=99)  # different seed; file wins
+        assert b.pretrained is True
+        x = jnp.asarray(_rand(1, 2048, seed=34))
+        y = jnp.asarray(_rand(1, 2048, seed=35))
+        np.testing.assert_allclose(float(a(x, y)), float(b(x, y)),
+                                   rtol=1e-6)
+
+    def test_torch_state_mapping_by_shape(self, tmp_path):
+        """A torch state_dict whose conv/linear shapes match loads by
+        order+shape (the path a downloaded cdpam ckpt takes)."""
+        from lookoncetohear_tpu.losses.cdpam import CDPAM, _flatten
+        m = CDPAM(seed=0)
+        flat = _flatten(m.params)
+        sd = {}
+        for i in range(m.encoder.n_layers):
+            kshape = flat[f"conv_{i}/kernel"].shape  # [k, in, out]
+            sd[f"base_encoder.conv{i}.weight"] = torch.randn(
+                kshape[2], kshape[1], kshape[0])
+            sd[f"base_encoder.conv{i}.bias"] = torch.randn(kshape[2])
+        for name in ("acoustic_fc0", "acoustic_fc1", "content_fc0",
+                     "content_fc1"):
+            w = flat[f"{name}/kernel"]
+            sd[f"proj.{name}.weight"] = torch.randn(
+                w.shape[1], w.shape[0])
+        p = str(tmp_path / "torch.pth")
+        torch.save({"state": sd}, p)
+        before = np.asarray(_flatten(m.params)["conv_0/kernel"]).copy()
+        m.load_torch_state(p)
+        after = np.asarray(_flatten(m.params)["conv_0/kernel"])
+        assert not np.allclose(before, after)
+        np.testing.assert_allclose(
+            after, np.transpose(
+                sd["base_encoder.conv0.weight"].numpy(), (2, 1, 0)))
+
+    def test_resample_fft(self):
+        from lookoncetohear_tpu.losses.cdpam import resample_fft
+        sr_in, sr_out = 16000, 22050
+        t = np.arange(sr_in) / sr_in
+        x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        y = np.asarray(resample_fft(jnp.asarray(x), sr_in, sr_out))
+        assert y.shape[-1] == sr_out
+        # same tone at the new rate (ignore edge ringing)
+        t2 = np.arange(sr_out) / sr_out
+        want = np.sin(2 * np.pi * 440 * t2)
+        core = slice(200, -200)
+        assert np.corrcoef(y[core], want[core])[0, 1] > 0.999
+
+
 class TestBinauralMetrics:
     """Synthetic binaural chirps with known sample shifts — the
     reference's own self-test construction (src/eval/binaural.py:

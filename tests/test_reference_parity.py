@@ -58,7 +58,7 @@ def torch_embed():
     return TorchEmbed(**EMBED).eval()
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 def test_tse_full_model_parity(torch_tse):
     """Reference streaming separator state_dict -> convert.py -> Flax:
     identical full-utterance output."""
@@ -86,7 +86,7 @@ def test_tse_full_model_parity(torch_tse):
     np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 def test_tse_streamed_parity(torch_tse):
     """Converted params driven 8 ms at a time (carried state) still
     match the reference full-utterance output."""
@@ -119,7 +119,7 @@ def test_tse_streamed_parity(torch_tse):
     np.testing.assert_allclose(streamed, y_t, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 def test_embed_full_model_parity(torch_embed):
     """Reference EmbedTFGridNet (espnet trunk) state_dict ->
     convert.py -> Flax EmbedNet: identical d-vectors."""

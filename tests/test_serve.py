@@ -120,6 +120,45 @@ class TestStreamingEngine:
         assert np.abs(y[1]).max() == 0.0
         assert np.abs(y[0]).max() >= 0.0
 
+    def test_pipelined_matches_sequential(self):
+        """Throughput mode (K chunks in flight) returns exactly the
+        sequential outputs, delayed by the pipeline depth."""
+        rng = np.random.default_rng(11)
+        emb = rng.standard_normal((2, TINY["embed_dim"])).astype(
+            np.float32)
+        c = TINY["stft_chunk_size"]
+        x = rng.standard_normal((2, 2, c * 6)).astype(np.float32)
+
+        _, _, eng = _engine(n=2)
+        for s in range(2):
+            eng.add_stream(s, emb[s])
+        ref = [np.asarray(eng.step(x[:, :, i * c:(i + 1) * c]))
+               for i in range(6)]
+
+        _, _, eng2 = _engine(n=2)
+        for s in range(2):
+            eng2.add_stream(s, emb[s])
+        got = []
+        for i in range(6):
+            y = eng2.step_pipelined(x[:, :, i * c:(i + 1) * c], depth=3)
+            if y is not None:
+                got.append(y)
+        got.extend(eng2.drain())
+        assert len(got) == 6
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_benchmark_device_runs_on_cpu(self):
+        """The on-device engine benchmark (scan over the REAL engine
+        step incl. priming mask) executes and reports sane fields."""
+        _, _, eng = _engine(n=2)
+        eng.add_stream(0, np.ones(TINY["embed_dim"], np.float32))
+        rep = eng.benchmark_device(n_short=2, n_long=6, repeats=2)
+        for k in ("device_p50_ms", "device_p99_ms", "rtf", "streams"):
+            assert k in rep
+        assert rep["streams"] == 2
+        assert np.isfinite(rep["rtf"])
+
 
 @pytest.mark.slow
 class TestBf16KV:

@@ -69,7 +69,7 @@ class TestPlateauScheduler:
         assert s.step(3.0) == 0.05
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 class TestTSETraining:
     def test_fit_reduces_loss_and_checkpoints(self, tmp_path):
         run_dir = str(tmp_path / "run")
@@ -106,7 +106,7 @@ class TestTSETraining:
         assert "test/si_snr_i" in rec and np.isfinite(rec["test/loss"])
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 class TestEmbedTraining:
     def test_fit_reduces_loss(self, tmp_path):
         run_dir = str(tmp_path / "run")
@@ -187,7 +187,7 @@ class TestEvalWeighting:
         assert tr._eval_pad_target(dl) >= dl.batch_size
 
 
-@pytest.mark.slow
+@pytest.mark.e2e
 class TestEmbeddingTables:
     def test_val_epoch_tables_written(self, tmp_path):
         from lookoncetohear_tpu.train.tasks import EmbeddingTableLogger
