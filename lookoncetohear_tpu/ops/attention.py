@@ -287,9 +287,14 @@ def ring_attend_int8_native(q_t, k_t, v_t, k_buf, k_scale, v_buf,
     from lookoncetohear_tpu.ops.pallas_attention import (
         attn_int8_pallas_enabled, attention_section_int8_pallas)
     if attn_int8_pallas_enabled():
+        import os
         return attention_section_int8_pallas(
             q_t, k_t, v_t, k_buf, k_scale, v_buf, v_scale, pos,
-            f=f, n_head=n_head)
+            f=f, n_head=n_head,
+            # on-chip tuning knobs (no code edit needed)
+            block_rows=int(os.environ.get(
+                "LOOKONCE_ATTN_BLOCK_ROWS", "8")),
+            w_chunk=int(os.environ.get("LOOKONCE_ATTN_WCHUNK", "7")))
 
     cdt = q_t.dtype
     b, dk = q_t.shape

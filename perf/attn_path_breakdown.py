@@ -213,6 +213,22 @@ def native_row(pallas: bool, tag: str):
         os.environ.pop("LOOKONCE_NO_PALLAS", None)
 
 
+def tune_sweep():
+    """Sweep the fused v2 kernel's blocking knobs."""
+    import os
+    for bb in (8, 16, 32):
+        for wc in (7, 49):
+            os.environ["LOOKONCE_ATTN_BLOCK_ROWS"] = str(bb)
+            os.environ["LOOKONCE_ATTN_WCHUNK"] = str(wc)
+            try:
+                native_row(True, f"v2 fused bb={bb} wc={wc}")
+            except Exception as e:  # VMEM overflow etc. — keep going
+                print(f"v2 fused bb={bb} wc={wc}: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+    os.environ.pop("LOOKONCE_ATTN_BLOCK_ROWS", None)
+    os.environ.pop("LOOKONCE_ATTN_WCHUNK", None)
+
+
 ROWS = {
     "1": lambda: block_row(True, "full block t=1 (attn on, int8)"),
     "2": lambda: block_row(False, "block t=1, use_attn=False"),
@@ -222,6 +238,7 @@ ROWS = {
     "6": proj_row,
     "7": lambda: native_row(False, "v2 native int8 XLA (ring+write)"),
     "8": lambda: native_row(True, "v2 native int8 fused Pallas"),
+    "9": tune_sweep,
 }
 
 if __name__ == "__main__":
