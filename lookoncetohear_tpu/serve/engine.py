@@ -44,15 +44,35 @@ def _mask_tree(tree, keep_mask):
 
 class StreamingEngine:
     def __init__(self, model, params, max_streams: int = 64,
-                 dtype=jnp.float32, kv_dtype=None) -> None:
+                 dtype=jnp.float32, kv_dtype=None, mesh=None) -> None:
         """dtype=jnp.bfloat16 runs the whole step (params, activations,
         state) in bf16 — halves every HBM stream for a measured
         ~0.05 dB SI-SNRi cost on a trained flagship checkpoint
         (PERF.md); kv_dtype further overrides just the K/V ring-buffer
-        storage. Default keeps full precision."""
+        storage. Default keeps full precision.
+
+        mesh: optional `jax.sharding.Mesh` with a "data" axis — scales
+        serving ACROSS chips: params replicate, every batch-major
+        array (state, tails, embeddings, chunks) shards its leading
+        stream dimension over "data", and the one jitted step runs
+        SPMD with zero cross-chip collectives (streams are
+        independent). N chips = N x max_streams capacity with the
+        single-chip step's latency. max_streams must be divisible by
+        the data-axis size."""
         self.model = model
+        self.mesh = mesh
+        self._repl = None
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            assert max_streams % mesh.shape["data"] == 0, \
+                "max_streams must divide over the data mesh axis"
+            self._repl = NamedSharding(mesh, PartitionSpec())
+            self._shard = NamedSharding(mesh, PartitionSpec("data"))
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype), params)
+        if self._repl is not None:
+            self.params = jax.device_put(self.params, self._repl)
         self.n = max_streams
         self.dtype = dtype
         self.chunk = model.stft_chunk_size
@@ -65,6 +85,12 @@ class StreamingEngine:
         self._kv_dtype = kv_dtype
         self.state = model.init_state(max_streams, dtype,
                                       kv_dtype=kv_dtype)
+        if self._shard is not None:
+            self.state = jax.device_put(
+                self.state, jax.tree_util.tree_map(
+                    lambda x: (self._shard if x.ndim > 0
+                               and x.shape[0] == max_streams
+                               else self._repl), self.state))
         # previous chunk; each analysis window = [prev_chunk ;
         # new_chunk[:pad]] so the frame grid matches the reference's
         # chunk-aligned framing (net.py:54-66). Output therefore lags
@@ -73,6 +99,10 @@ class StreamingEngine:
         self.input_tail = jnp.zeros(
             (max_streams, self.n_mics, self.chunk), dtype)
         self.embeds = jnp.zeros((max_streams, self.embed_dim), dtype)
+        if self._shard is not None:
+            self.input_tail = jax.device_put(self.input_tail,
+                                             self._shard)
+            self.embeds = jax.device_put(self.embeds, self._shard)
         self.active = np.zeros(max_streams, bool)
 
         pad = self.nfft - self.chunk
@@ -84,20 +114,46 @@ class StreamingEngine:
         self.primed = np.zeros(max_streams, bool)
         self._pipeline: list = []  # in-flight outputs (throughput mode)
 
-        @jax.jit
-        def _step(params, embeds, state, tail, chunks, primed):
+        def _step_core(params, embeds, state, tail, chunks, primed):
             window = jnp.concatenate([tail, chunks[..., :pad]], axis=-1)
             y, new_state = model.apply({"params": params}, window,
                                        embeds, state, method=model.step)
 
             def keep(new, old):
-                if new.ndim == 0 or new.shape[0] != self.n:
-                    return new  # global scalars (ring cursor) advance
+                # batch-major leaves gate on priming; global scalars
+                # (ring cursor) advance. Compare against the LOCAL
+                # batch (primed's leading dim) so the same body works
+                # single-device and per-shard under shard_map.
+                if new.ndim == 0 or new.shape[0] != primed.shape[0]:
+                    return new
                 m = primed.reshape((-1,) + (1,) * (new.ndim - 1))
                 return jnp.where(m, new, old)
             state = jax.tree_util.tree_map(keep, new_state, state)
             y = y * primed.reshape(-1, 1, 1).astype(y.dtype)
             return y, state, chunks
+
+        if mesh is None:
+            _step = jax.jit(_step_core)
+        else:
+            # multi-chip serving: shard_map over the "data" axis —
+            # each device runs the FULL per-shard step locally
+            # (streams are independent; zero collectives), which also
+            # keeps Pallas kernels valid (they see per-device shapes,
+            # not GSPMD-partitioned globals)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def spec_of(x):
+                batchy = (hasattr(x, "ndim") and x.ndim > 0
+                          and x.shape[0] == max_streams)
+                return P("data") if batchy else P()
+            state_specs = jax.tree_util.tree_map(spec_of, self.state)
+            _step = jax.jit(shard_map(
+                _step_core, mesh=mesh,
+                in_specs=(P(), P("data"), state_specs, P("data"),
+                          P("data"), P("data")),
+                out_specs=(P("data"), state_specs, P("data")),
+                check_vma=False))
 
         @jax.jit
         def _reset(state, tail, keep):
@@ -138,9 +194,13 @@ class StreamingEngine:
         audio [max_streams, n_srcs, chunk] delayed by the model's
         algorithmic latency."""
         chunks = jnp.asarray(chunks, self.dtype)
+        primed = jnp.asarray(self.primed & self.active)
+        if self._shard is not None:
+            chunks = jax.device_put(chunks, self._shard)
+            primed = jax.device_put(primed, self._shard)
         y, self.state, self.input_tail = self._step(
             self.params, self.embeds, self.state, self.input_tail,
-            chunks, jnp.asarray(self.primed & self.active))
+            chunks, primed)
         self.primed |= self.active
         return y
 

@@ -161,6 +161,43 @@ class TestStreamingEngine:
 
 
 @pytest.mark.slow
+class TestShardedServing:
+    def test_mesh_engine_matches_single_device(self):
+        """Multi-chip serving: the engine jitted as shard_map over an
+        8-device data mesh (streams sharded batch-major, params
+        replicated, zero collectives) produces the single-device
+        outputs exactly."""
+        from jax.sharding import Mesh
+        model = Net(**TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 640)),
+            jnp.zeros((1, 1, TINY["embed_dim"])))["params"]
+        rng = np.random.default_rng(17)
+        n = 8
+        emb = rng.standard_normal((n, TINY["embed_dim"])).astype(
+            np.float32)
+        c = TINY["stft_chunk_size"]
+        x = rng.standard_normal((n, 2, c * 4)).astype(np.float32)
+
+        ref_eng = StreamingEngine(model, params, max_streams=n)
+        devs = np.array(jax.devices()).reshape(-1, 1)
+        mesh = Mesh(devs, ("data", "model"))
+        mesh_eng = StreamingEngine(model, params, max_streams=n,
+                                   mesh=mesh)
+        for s in range(n):
+            ref_eng.add_stream(s, emb[s])
+            mesh_eng.add_stream(s, emb[s])
+        for i in range(4):
+            chunk = x[:, :, i * c:(i + 1) * c]
+            a = np.asarray(ref_eng.step(chunk))
+            b = np.asarray(mesh_eng.step(chunk))
+            np.testing.assert_allclose(b, a, atol=1e-5)
+        # sharded state really is laid out over the mesh
+        kb = mesh_eng.state["blocks"][0]["k_buf"]
+        assert len(kb.sharding.device_set) == len(jax.devices())
+
+
+@pytest.mark.slow
 class TestBf16KV:
     def test_streaming_with_bf16_kv_close_to_f32(self):
         """bf16 K/V ring buffers: outputs track the f32 state path
