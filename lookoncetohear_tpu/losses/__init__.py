@@ -12,9 +12,10 @@ from lookoncetohear_tpu.losses.embedding import cosine_embedding_loss
 from lookoncetohear_tpu.losses.spectral import (MultiResolutionMelSpecLoss,
                                                 L1_Mel,
                                                 multi_resolution_stft_loss)
+from lookoncetohear_tpu.losses.cdpam import CDPAM
 
 __all__ = [
     "neg_sdr", "si_sdr", "si_snr", "snr", "snr_loss", "LossFn",
     "cosine_embedding_loss", "MultiResolutionMelSpecLoss", "L1_Mel",
-    "multi_resolution_stft_loss",
+    "multi_resolution_stft_loss", "CDPAM",
 ]
