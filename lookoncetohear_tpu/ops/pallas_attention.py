@@ -206,7 +206,7 @@ def _head_segments(d_flat: int, f: int, n_head: int):
 
 def _section_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref, vs_ref,
                     kbuf_hbm, vbuf_hbm,
-                    out_ref, nks_ref, nvs_ref, kbuf_out, vbuf_out,
+                    out_ref, ksc_ref, vsc_ref, kbuf_out, vbuf_out,
                     kslab, vslab, k8_ref, v8_ref, sems, wsems, *,
                     f: int, n_head: int, bb: int, w_chunk: int):
     b, dk = q_ref.shape
@@ -218,10 +218,6 @@ def _section_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref, vs_ref,
     segk = _head_segments(dk, f, n_head)   # [DK, nh]
     segv = _head_segments(dv, f, n_head)   # [DV, nh]
     pos = pos_ref[0]
-
-    # ring-buffer scales: copy through, then update the pos column
-    nks_ref[...] = ks_ref[...]
-    nvs_ref[...] = vs_ref[...]
 
     def rdma(kind, slot, slab):
         src = (kbuf_hbm if kind == 0 else vbuf_hbm)
@@ -300,8 +296,12 @@ def _section_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref, vs_ref,
         v8, v_sc = quant(vt_s, dv, segv)
         k8_ref[slot] = k8
         v8_ref[slot] = v8
-        nks_ref[row, pl.ds(pos, 1), :] = k_sc[:, None, :]
-        nvs_ref[row, pl.ds(pos, 1), :] = v_sc[:, None, :]
+        # scales leave as small [B, nh] outputs; the wrapper does the
+        # slot write in XLA (50 KB — avoids dynamic middle-dim VMEM
+        # stores, the least-supported construct this kernel would
+        # otherwise need)
+        ksc_ref[row, :] = k_sc
+        vsc_ref[row, :] = v_sc
         kw = pltpu.make_async_copy(
             k8_ref.at[slot], kbuf_out.at[pl.ds(s * bb, bb), pos],
             wsems.at[0, slot])
@@ -350,7 +350,8 @@ def attention_section_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     kernel = functools.partial(_section_kernel, f=f, n_head=n_head,
                                bb=bb, w_chunk=w_chunk)
-    out, nks, nvs, nkb, nvb = pl.pallas_call(
+    nh = k_scale.shape[-1]
+    out, ksc, vsc, nkb, nvb = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # pos
@@ -359,22 +360,20 @@ def attention_section_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # v_t
             pl.BlockSpec(memory_space=pltpu.VMEM),   # k_scale
             pl.BlockSpec(memory_space=pltpu.VMEM),   # v_scale
-            pl.BlockSpec(memory_space=pl.ANY),    # k_buf (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),    # v_buf (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # k_buf (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # v_buf (HBM)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # out
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # new k_scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # new v_scale
-            pl.BlockSpec(memory_space=pl.ANY),    # new k_buf
-            pl.BlockSpec(memory_space=pl.ANY),    # new v_buf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # new-slot k scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # new-slot v scale
+            pl.BlockSpec(memory_space=pl.ANY),       # new k_buf
+            pl.BlockSpec(memory_space=pl.ANY),       # new v_buf
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, dv), q_t.dtype),
-            jax.ShapeDtypeStruct((bp, w1, k_scale.shape[-1]),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((bp, w1, v_scale.shape[-1]),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((bp, nh), jnp.float32),
+            jax.ShapeDtypeStruct((bp, nh), jnp.float32),
             jax.ShapeDtypeStruct((bp, w1, dk), jnp.int8),
             jax.ShapeDtypeStruct((bp, w1, dv), jnp.int8),
         ],
@@ -392,9 +391,17 @@ def attention_section_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
       k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
       k_buf, v_buf)
     if pad:
-        out, nks, nvs = out[:b], nks[:b], nvs[:b]
+        out, ksc, vsc = out[:b], ksc[:b], vsc[:b]
         nkb, nvb = nkb[:b], nvb[:b]
-    return out, nkb, nks, nvb, nvs, (jnp.asarray(pos) + 1) % w1
+        k_scale, v_scale = k_scale[:b], v_scale[:b]
+    # the scale arrays' single-slot write happens here in XLA (50 KB);
+    # the kernel only writes the big int8 buffers via aliased DMA
+    posj = jnp.asarray(pos)
+    nks = jax.lax.dynamic_update_slice_in_dim(
+        k_scale.astype(jnp.float32), ksc[:, None], posj, axis=1)
+    nvs = jax.lax.dynamic_update_slice_in_dim(
+        v_scale.astype(jnp.float32), vsc[:, None], posj, axis=1)
+    return out, nkb, nks, nvb, nvs, (posj + 1) % w1
 
 
 def pallas_enabled() -> bool:
