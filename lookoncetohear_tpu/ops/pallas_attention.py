@@ -280,12 +280,15 @@ def _section_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref, vs_ref,
 
         # ---- quantize the new slot + aliased ring write -------------
         def quant(x_s, d_flat, seg):
-            dim = d_flat // (f * n_head)
-            x3 = x_s.reshape(bb, f, n_head * dim)
+            # per-head amax WITHOUT lane-splitting reshapes (Mosaic
+            # rejects [bb, D] -> [bb, F, nh*dim] shape casts): mask
+            # the flat row with each head's 0/1 segment column and
+            # max over all lanes
+            ax = jnp.abs(x_s)                        # [bb, d_flat]
             amax = []
             for h in range(n_head):
-                sl = jnp.abs(x3[:, :, h * dim:(h + 1) * dim])
-                amax.append(jnp.max(sl, axis=(1, 2))[:, None])
+                amax.append(jnp.max(ax * seg[:, h][None, :],
+                                    axis=-1)[:, None])
             amax = jnp.concatenate(amax, axis=1)     # [bb, nh]
             sc = jnp.maximum(amax, 1e-12) / 127.0
             lane_sc = sc @ seg.T                     # [bb, d_flat]
@@ -360,15 +363,15 @@ def attention_section_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # v_t
             pl.BlockSpec(memory_space=pltpu.VMEM),   # k_scale
             pl.BlockSpec(memory_space=pltpu.VMEM),   # v_scale
-            pl.BlockSpec(memory_space=pl.ANY),       # k_buf (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # v_buf (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # k_buf
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v_buf
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # out
             pl.BlockSpec(memory_space=pltpu.VMEM),   # new-slot k scale
             pl.BlockSpec(memory_space=pltpu.VMEM),   # new-slot v scale
-            pl.BlockSpec(memory_space=pl.ANY),       # new k_buf
-            pl.BlockSpec(memory_space=pl.ANY),       # new v_buf
+            pl.BlockSpec(memory_space=pltpu.HBM),    # new k_buf
+            pl.BlockSpec(memory_space=pltpu.HBM),    # new v_buf
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, dv), q_t.dtype),
@@ -419,19 +422,27 @@ def pallas_enabled() -> bool:
 
 
 def attn_int8_pallas_enabled() -> bool:
-    """Gate for the fused int8 attention kernel: default-on on real
-    TPUs (it is the measured winner there), off on CPU, and disabled
-    by LOOKONCE_NO_PALLAS=1 — the same kill switch as the fused LSTM
-    but checked through this dedicated helper so each op's flag
-    semantics stay independent and documented.
+    """Gate for the fused int8 attention section kernel: OPT-IN
+    (LOOKONCE_ATTN_INT8_PALLAS=1) and TPU-only.
+
+    Measured round 3 (perf/attn_path_breakdown.py): the projection-
+    native v2 LAYOUT is what matters — the plain-XLA v2 ring step
+    streams at ~600 GB/s effective (0.045 ms/block incl. quantize +
+    slot write), already at this chip's ceiling, so XLA is the
+    default. The fused kernel remains for experimentation; its
+    manual-DMA form additionally trips a Mosaic limitation
+    (memref_slice on (8,128)-tiled HBM refs) on this toolchain.
 
     Summary of the kernel knobs:
-      LOOKONCE_PALLAS=1     opt IN to the f32/bf16 attention kernel
-      LOOKONCE_NO_PALLAS=1  opt OUT of the default-on fused kernels
-                            (int8 attention, fused BiLSTM)
+      LOOKONCE_PALLAS=1            opt IN to the f32/bf16 attention kernel
+      LOOKONCE_ATTN_INT8_PALLAS=1  opt IN to the fused int8 section kernel
+      LOOKONCE_NO_PALLAS=1         opt OUT of all fused kernels
+                                   (incl. the default-on fused BiLSTM)
     """
     import os
     if os.environ.get("LOOKONCE_NO_PALLAS"):
+        return False
+    if not os.environ.get("LOOKONCE_ATTN_INT8_PALLAS"):
         return False
     try:
         return jax.default_backend() not in ("cpu",)
