@@ -153,15 +153,20 @@ class GridNetBlockStreaming(nn.Module):
         }
         if self.use_attn and kv_dtype == jnp.int8:
             # v2 projection-native int8 ring: flat (f, h, d) slots +
-            # per-(row, slot, head) scales (ops/attention.py 'v2')
+            # per-(row, slot, head) scales (ops/attention.py 'v2').
+            # Write-first, padded to ceil(W/8)*8 physical slots so the
+            # TPU kernel's aliased 8-slot-window write has a legal
+            # block shape; dead slots and slot `pos` are masked in
+            # the softmax (ring_attend_int8_native).
+            wp = ((w + 7) // 8) * 8
             state["k_buf"] = jnp.zeros(
-                (batch_size, w - 1, f * nh * e), jnp.int8)
+                (batch_size, wp, f * nh * e), jnp.int8)
             state["v_buf"] = jnp.zeros(
-                (batch_size, w - 1, f * nh * vd), jnp.int8)
+                (batch_size, wp, f * nh * vd), jnp.int8)
             state["k_scale"] = jnp.zeros(
-                (batch_size, w - 1, nh), jnp.float32)
+                (batch_size, wp, nh), jnp.float32)
             state["v_scale"] = jnp.zeros(
-                (batch_size, w - 1, nh), jnp.float32)
+                (batch_size, wp, nh), jnp.float32)
             state["pos"] = jnp.zeros((), jnp.int32)
         elif self.use_attn:
             state["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e),
@@ -233,7 +238,8 @@ class GridNetBlockStreaming(nn.Module):
              new_state["v_buf"], new_state["v_scale"],
              new_state["pos"]) = att_ops.ring_attend_int8_native(
                 qn, kn, vn, state["k_buf"], state["k_scale"],
-                state["v_buf"], state["v_scale"], pos, f=f, n_head=nh)
+                state["v_buf"], state["v_scale"], pos, f=f, n_head=nh,
+                w=self.local_atten_len)
             # native out columns are already (f, head*vd) == the
             # merged-head channel order
             out = out.reshape(b, 1, f, nh * vd)
@@ -370,15 +376,18 @@ def init_stream_state(batch_size: int, *, n_srcs: int, n_fft: int,
             "c": jnp.zeros((batch_size, f, h), dtype),
         }
         if use_attn and kv_dtype == jnp.int8:
-            # v2 projection-native layout (ops/attention.py 'v2')
+            # v2 projection-native layout: write-first ring padded to
+            # ceil(W/8)*8 slots (ops/attention.py
+            # ring_attend_int8_native)
+            wp = ((w + 7) // 8) * 8
             s["k_buf"] = jnp.zeros(
-                (batch_size, w - 1, f * nh * e), jnp.int8)
+                (batch_size, wp, f * nh * e), jnp.int8)
             s["v_buf"] = jnp.zeros(
-                (batch_size, w - 1, f * nh * vd), jnp.int8)
+                (batch_size, wp, f * nh * vd), jnp.int8)
             s["k_scale"] = jnp.zeros(
-                (batch_size, w - 1, nh), jnp.float32)
+                (batch_size, wp, nh), jnp.float32)
             s["v_scale"] = jnp.zeros(
-                (batch_size, w - 1, nh), jnp.float32)
+                (batch_size, wp, nh), jnp.float32)
             s["pos"] = jnp.zeros((), jnp.int32)
         elif use_attn:
             s["k_buf"] = jnp.zeros((batch_size, nh, w - 1, f * e),

@@ -268,59 +268,66 @@ def quantize_slot_native(x: jnp.ndarray, f: int, n_head: int):
 
 
 def ring_attend_int8_native(q_t, k_t, v_t, k_buf, k_scale, v_buf,
-                            v_scale, pos, *, f: int, n_head: int):
-    """Streaming int8 ring attention in the projection-native layout,
-    INCLUDING the single-slot ring write.
+                            v_scale, pos, *, f: int, n_head: int,
+                            w: int = 0):
+    """W-slot WRITE-FIRST streaming int8 ring attention in the
+    projection-native layout, on a slot-PADDED ring.
 
       q_t/k_t: [B, F*nh*E], v_t: [B, F*nh*V]  (compute dtype, flat
         (f, h, d) column order — what the per-head-normalized
         projections emit, reshape-free)
-      k_buf: [B, W-1, F*nh*E] int8, k_scale: [B, W-1, nh] f32
-      v_buf: [B, W-1, F*nh*V] int8, v_scale: [B, W-1, nh] f32
-      pos: scalar int32 ring cursor
+      k_buf: [B, WP, F*nh*E] int8, k_scale: [B, WP, nh] f32
+      v_buf: [B, WP, F*nh*V] int8, v_scale: [B, WP, nh] f32
+        where WP = ceil(w/8)*8 physical slots (padding lets the TPU
+        kernel write its aliased 8-slot window with a legal block)
+      pos: scalar int32 ring cursor (the slot written THIS step),
+        cycling mod w
+      w: the REAL attention window (reference local_atten_len,
+        tfgridnet_causal.py:553-574); defaults to WP when omitted
+
+    Each step quantizes the current frame and writes it into slot
+    `pos` (replacing the oldest frame) BEFORE attending; attention
+    then runs over the updated ring with slot `pos` and the dead
+    padding slots EXCLUDED from the softmax — the current frame
+    instead participates at full precision via the separate
+    current-frame term. Ring attention has no positional weighting,
+    so this equals the attend-then-write (w-1)-slot form numerically;
+    the point is the dataflow: the TPU kernel
+    (ring_attend_int8_step_pallas) is the ring's only reader AND
+    writer, which kills the ~27 MB/block/step relayout copies XLA
+    otherwise inserts between the slot-write DUS and the attention
+    dots (PERF.md round 3).
 
     Returns (out [B, F*nh*V], new_k_buf, new_k_scale, new_v_buf,
-    new_v_scale, new_pos). Dispatches to the fused Pallas kernel on
-    TPU (in-kernel aliased slot write); this XLA form is the
-    CPU/interpret fallback and the numerics reference.
+    new_v_scale, new_pos). This XLA form is the CPU fallback and the
+    numerics reference.
     """
     from lookoncetohear_tpu.ops.pallas_attention import (
-        attn_int8_pallas_enabled, attention_section_int8_pallas)
-    if attn_int8_pallas_enabled():
-        import os
-        return attention_section_int8_pallas(
-            q_t, k_t, v_t, k_buf, k_scale, v_buf, v_scale, pos,
-            f=f, n_head=n_head,
-            # on-chip tuning knobs (no code edit needed)
-            block_rows=int(os.environ.get(
-                "LOOKONCE_ATTN_BLOCK_ROWS", "8")),
-            w_chunk=int(os.environ.get("LOOKONCE_ATTN_WCHUNK", "7")))
+        attn_int8_consumer_pallas_enabled,
+        ring_attend_int8_step_pallas)
 
     cdt = q_t.dtype
     b, dk = q_t.shape
     dv = v_t.shape[-1]
-    w1 = k_buf.shape[1]
+    wp = k_buf.shape[1]
+    if w <= 0:
+        w = wp
     e = dk // (f * n_head)
     vd = dv // (f * n_head)
     scale = float(1.0 / np.sqrt(dk // n_head))
 
-    q5 = q_t.reshape(b, f, n_head, e)
-    k5h = k_buf.astype(cdt).reshape(b, w1, f, n_head, e)
-    s4 = jnp.einsum("bwfhe,bfhe->bwh", k5h, q5)
-    s4 = s4 * k_scale.astype(cdt) * scale  # [B, W-1, nh]
-    s_cur = jnp.einsum("bfhe,bfhe->bh", q5,
-                       k_t.reshape(b, f, n_head, e)) * scale
-    m = jnp.maximum(jnp.max(s4, axis=1), s_cur)  # [B, nh]
-    e_h = jnp.exp(s4 - m[:, None, :])
-    e_c = jnp.exp(s_cur - m)
-    den = jnp.sum(e_h, axis=1) + e_c  # [B, nh]
-    wgt = e_h * v_scale.astype(cdt)  # [B, W-1, nh]
-    v5h = v_buf.astype(cdt).reshape(b, w1, f, n_head, vd)
-    out = jnp.einsum("bwh,bwfhv->bfhv", wgt, v5h)
-    out = out + e_c[:, None, :, None] * v_t.reshape(b, f, n_head, vd)
-    out = out / den[:, None, :, None]
-    out = out.reshape(b, dv)
+    if attn_int8_consumer_pallas_enabled():
+        import os
+        return ring_attend_int8_step_pallas(
+            q_t, k_t, v_t, k_buf, k_scale.astype(jnp.float32),
+            v_buf, v_scale.astype(jnp.float32), pos,
+            f=f, n_head=n_head, w_real=w,
+            block_rows=int(os.environ.get(
+                "LOOKONCE_ATTN_BLOCK_ROWS", "16")),
+            w_chunk=int(os.environ.get("LOOKONCE_ATTN_WCHUNK", "0")))
 
+    # ---- XLA fallback: write first (quantize + single-slot DUS on
+    # the carried arrays, no reshape between carry and update) ------
     k8, ks = quantize_slot_native(k_t, f, n_head)
     v8, vs = quantize_slot_native(v_t, f, n_head)
     new_k = jax.lax.dynamic_update_slice_in_dim(
@@ -331,7 +338,48 @@ def ring_attend_int8_native(q_t, k_t, v_t, k_buf, k_scale, v_buf,
         k_scale, ks[:, None].astype(k_scale.dtype), pos, axis=1)
     new_vs = jax.lax.dynamic_update_slice_in_dim(
         v_scale, vs[:, None].astype(v_scale.dtype), pos, axis=1)
-    return out, new_k, new_ks, new_v, new_vs, (pos + 1) % w1
+    new_pos = (pos + 1) % w
+
+    # LAYOUT-STABILITY CONTRACT (measured, PERF.md round 3): read the
+    # ring buffers only in their native flat [B, WP, D] layout:
+    #   scores: ONE dot contracting the native minor axis d, with the
+    #     0/1 head-segment mask folded into the tiny Q operand;
+    #   values: out[b,d] = sum_h segv[h,d] * (sum_w wgt[b,w,h] *
+    #     V8[b,w,d]) — G[b,h,d] for ALL heads with a single dot
+    #     contracting the major axis w (4x the needed FLOPs, but MXU
+    #     FLOPs are free and V8 streams once, layout-native), then a
+    #     tiny segment-mask collapse. Head-batched einsums here cost
+    #     ~27 MB of relayout copies per block per 8 ms step.
+    segk = jnp.asarray(
+        np.repeat(np.tile(np.eye(n_head, dtype=np.float32),
+                          (f, 1)), e, axis=0), cdt)  # [dk, nh]
+    qseg = q_t[:, :, None] * segk[None]              # [B, dk, nh]
+    s4 = jax.lax.dot_general(
+        new_k.astype(cdt), qseg,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))))  # [B, WP, nh]
+    s4 = s4 * new_ks.astype(cdt) * scale
+    # exclude slot `pos` (just-written current frame — the precise
+    # current term below covers it) and any dead padding slots
+    widx = jax.lax.broadcasted_iota(jnp.int32, (b, wp, n_head), 1)
+    s4 = jnp.where((widx == pos) | (widx >= w), -jnp.inf, s4)
+    s_cur = jnp.einsum("bd,bdh->bh", k_t, qseg) * scale
+    m = jnp.maximum(jnp.max(s4, axis=1), s_cur)  # [B, nh]
+    e_h = jnp.exp(s4 - m[:, None, :])
+    e_c = jnp.exp(s_cur - m)
+    den = jnp.sum(e_h, axis=1) + e_c  # [B, nh]
+    wgt = e_h * new_vs.astype(cdt)  # [B, WP, nh]
+    segv = jnp.asarray(
+        np.repeat(np.tile(np.eye(n_head, dtype=np.float32),
+                          (f, 1)), vd, axis=0), cdt)  # [dv, nh]
+    g = jax.lax.dot_general(
+        wgt, new_v.astype(cdt),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))))  # [B, nh, dv]
+    out = jnp.sum(g * segv.T[None], axis=1)  # [B, dv]
+    out = out.reshape(b, f, n_head, vd)
+    out = out + e_c[:, None, :, None] * v_t.reshape(b, f, n_head, vd)
+    out = out / den[:, None, :, None]
+    out = out.reshape(b, dv)
+    return out, new_k, new_ks, new_v, new_vs, new_pos
 
 
 def causal_banded_attention_full(q, k, v, window):

@@ -179,166 +179,147 @@ def attention_step_int8_pallas(q_t, k_t, v_t, k_buf, k_scale, v_buf,
     return out[:b]
 
 
-# --- projection-native ("v2") fused int8 section kernel -----------------
+# --- projection-native ("v2") int8 ring STEP kernel ---------------------
 #
-# Layout rationale (ops/attention.py "v2" note + PERF.md roofline): the
-# r2 kernel reduced scores over a 582-wide LANE axis — the measured
-# ~16 GB/s pathology of this chip — and the model paid a
-# [B,T,F,nh,dim] -> [B,nh,T,F*dim] relayout per projection per step.
-# Here every ring slot is stored exactly as the projections emit it
-# (flat (f, h, d) columns), the big reductions run over W/F via tiny
-# MXU segment matmuls (lane-segment sums become dot(segments)), and
-# the ring buffers stay in HBM: each 8 ms step DMA-reads the W-1 slots
-# once, slab-by-slab double-buffered, and DMA-writes only the ONE new
-# slot back through input/output aliasing — read 26.8 MB, write
-# ~0.6 MB, nothing else round-trips.
+# The serving-scan winner (round 3). Measured failure modes this
+# design dodges, in order of discovery (PERF.md round 3):
+#   1. XLA fallback inside the scan: layout assignment satisfies the
+#      ring dots ({2,1,0}, d minor) AND the slot-write DUS (which
+#      wants a slot-contiguous layout) by RELAYOUT-COPYING every
+#      block's ring buffers (~27 MB) every 8 ms step.
+#   2. Pure-consumer kernel + XLA DUS: the custom-call pins {2,1,0}
+#      but the DUS still prefers slot-contiguous, so the carry keeps
+#      a conflicting layout and the copies remain.
+#   3. In-kernel single-slot aliased write: a (bb, 1, D) output block
+#      is rejected (the slot dim must be divisible by 8 or equal W),
+#      and manual HBM DMA trips a Mosaic memref_slice limitation on
+#      this toolchain.
+# Resolution: the ring is padded to W_PHYS = ceil(W/8)*8 slots and the
+# kernel writes the 8-slot WINDOW containing `pos` through the normal
+# output pipeline — a legal (bb, 8, D) block whose index map reads the
+# scalar-prefetched cursor — with input_output_aliases donating the
+# ring, so the 7 untouched window slots are rewritten with their own
+# just-read values and everything else is untouched memory. The kernel
+# is the ring's ONLY reader and writer: one {2,1,0} layout everywhere,
+# no copies, ~27 MB read + ~4 MB window write per block per step.
+# Softmax masks both the dead padding slots (index >= W) and slot
+# `pos` (the just-written current frame, which instead participates
+# at full precision via the separate current term — ring attention is
+# slot-order-invariant, so numerics equal the attend-then-write form).
 
 
-def _head_segments(d_flat: int, f: int, n_head: int):
-    """[D, nh] 0/1 matrix: column d belongs to head (d % (nh*dim))
-    // dim, for flat (f, h, d) column order."""
-    per_f = d_flat // f
-    dim = per_f // n_head
-    col = jax.lax.broadcasted_iota(jnp.int32, (d_flat, n_head), 0)
-    head = jax.lax.broadcasted_iota(jnp.int32, (d_flat, n_head), 1)
-    return ((col % per_f) // dim == head).astype(jnp.float32)
-
-
-def _section_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref, vs_ref,
-                    kbuf_hbm, vbuf_hbm,
-                    out_ref, ksc_ref, vsc_ref, kbuf_out, vbuf_out,
-                    kslab, vslab, k8_ref, v8_ref, sems, wsems, *,
-                    f: int, n_head: int, bb: int, w_chunk: int):
-    b, dk = q_ref.shape
+def _ring_v2_step_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref,
+                         vs_ref, kbuf_ref, vbuf_ref,
+                         out_ref, kwin_ref, kscw_ref, vwin_ref,
+                         vscw_ref, *, f: int, n_head: int,
+                         w_real: int, w_chunk: int):
+    bb, dk = q_ref.shape
     dv = vt_ref.shape[1]
-    w1 = ks_ref.shape[1]
+    wp = ks_ref.shape[1]                   # physical slots (padded)
     e = dk // (f * n_head)
     inv = float(1.0 / np.sqrt(f * e))
-    n_slabs = b // bb
     segk = _head_segments(dk, f, n_head)   # [DK, nh]
     segv = _head_segments(dv, f, n_head)   # [DV, nh]
     pos = pos_ref[0]
 
-    def rdma(kind, slot, slab):
-        src = (kbuf_hbm if kind == 0 else vbuf_hbm)
-        dst = (kslab if kind == 0 else vslab)
-        return pltpu.make_async_copy(
-            src.at[pl.ds(slab * bb, bb)], dst.at[slot],
-            sems.at[kind, slot])
+    q = q_ref[:, :].astype(jnp.float32)
+    kt = kt_ref[:, :].astype(jnp.float32)
+    vt = vt_ref[:, :].astype(jnp.float32)
 
-    rdma(0, 0, 0).start()
-    rdma(1, 0, 0).start()
+    # scores over the ring; w_chunk bounds the f32 temporaries (one
+    # whole-ring chunk measured fastest at the serving shape)
+    parts = []
+    for w0 in range(0, wp, w_chunk):
+        wc = min(w_chunk, wp - w0)
+        kb = kbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.float32)
+        prod = kb * q[:, None, :]                  # [bb, wc, DK]
+        parts.append(jax.lax.dot(prod.reshape(bb * wc, dk),
+                                 segk).reshape(bb, wc, n_head))
+    s4 = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    s4 = s4 * ks_ref[:, :, :] * inv                # [bb, WP, nh]
+    # mask the dead padding slots and slot `pos` (just-written
+    # current frame — the precise s_cur term below covers it)
+    widx = jax.lax.broadcasted_iota(jnp.int32, (bb, wp, n_head), 1)
+    s4 = jnp.where((widx == pos) | (widx >= w_real), -jnp.inf, s4)
+    s_cur = jax.lax.dot(kt * q, segk) * inv        # [bb, nh]
 
-    def slab_body(s, _):
-        slot = jax.lax.rem(s, 2)
-        nxt = jax.lax.rem(s + 1, 2)
+    m = jnp.maximum(jnp.max(s4, axis=1), s_cur)
+    e_h = jnp.exp(s4 - m[:, None, :])              # [bb, WP, nh]
+    e_c = jnp.exp(s_cur - m)                       # [bb, nh]
+    den = jnp.sum(e_h, axis=1) + e_c
+    wgt = e_h * vs_ref[:, :, :]                    # [bb, WP, nh]
 
-        @pl.when(s + 1 < n_slabs)
-        def _():
-            rdma(0, nxt, s + 1).start()
-            rdma(1, nxt, s + 1).start()
+    outv = vt * (e_c @ segv.T)                     # [bb, DV]
+    for w0 in range(0, wp, w_chunk):
+        wc = min(w_chunk, wp - w0)
+        vb = vbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.float32)
+        wexp = jax.lax.dot(
+            wgt[:, w0:w0 + wc, :].reshape(bb * wc, n_head),
+            segv.T).reshape(bb, wc, dv)
+        outv = outv + jnp.sum(vb * wexp, axis=1)
+    outv = outv / (den @ segv.T)
+    out_ref[:, :] = outv.astype(out_ref.dtype)
 
-        rdma(0, slot, s).wait()
-        rdma(1, slot, s).wait()
+    # ---- quantize the current frame + window write ----------------
+    # Per-head amax via the 0/1 segment columns — no lane-splitting
+    # reshapes (Mosaic rejects [bb, D] -> [bb, F, nh*dim] casts).
+    def quant(x_s, seg):
+        ax = jnp.abs(x_s)                          # [bb, d_flat]
+        amax = [jnp.max(ax * seg[:, h][None, :], axis=-1)[:, None]
+                for h in range(n_head)]
+        amax = jnp.concatenate(amax, axis=1)       # [bb, nh]
+        sc = jnp.maximum(amax, 1e-12) / 127.0
+        lane_sc = sc @ seg.T                       # [bb, d_flat]
+        q8 = jnp.clip(jnp.round(x_s / lane_sc), -127, 127)
+        return q8, sc                              # q8 kept f32
 
-        row = pl.ds(s * bb, bb)
-        q_s = q_ref[row, :].astype(jnp.float32)      # [bb, DK]
-        kt_s = kt_ref[row, :].astype(jnp.float32)
-        vt_s = vt_ref[row, :].astype(jnp.float32)    # [bb, DV]
-
-        # ---- scores over the ring, chunked along W ------------------
-        parts = []
-        for w0 in range(0, w1, w_chunk):
-            wc = min(w_chunk, w1 - w0)
-            kb = kslab[slot, :, pl.ds(w0, wc), :].astype(jnp.float32)
-            prod = kb * q_s[:, None, :]              # [bb, wc, DK]
-            parts.append(
-                jax.lax.dot(prod.reshape(bb * wc, dk), segk)
-                .reshape(bb, wc, n_head))
-        s4 = jnp.concatenate(parts, axis=1)          # [bb, W1, nh]
-        s4 = s4 * ks_ref[row, :, :] * inv
-        s_cur = jax.lax.dot(kt_s * q_s, segk) * inv  # [bb, nh]
-
-        m = jnp.maximum(jnp.max(s4, axis=1), s_cur)
-        e_h = jnp.exp(s4 - m[:, None, :])            # [bb, W1, nh]
-        e_c = jnp.exp(s_cur - m)                     # [bb, nh]
-        den = jnp.sum(e_h, axis=1) + e_c
-        wgt = e_h * vs_ref[row, :, :]                # [bb, W1, nh]
-
-        # ---- weighted V, chunked along W ----------------------------
-        outv = e_c @ segv.T * 0.0                    # [bb, DV] zeros
-        for w0 in range(0, w1, w_chunk):
-            wc = min(w_chunk, w1 - w0)
-            vb = vslab[slot, :, pl.ds(w0, wc), :].astype(jnp.float32)
-            wexp = jax.lax.dot(
-                wgt[:, w0:w0 + wc, :].reshape(bb * wc, n_head),
-                segv.T).reshape(bb, wc, dv)
-            outv = outv + jnp.sum(vb * wexp, axis=1)
-        outv = outv + vt_s * (e_c @ segv.T)
-        outv = outv / (den @ segv.T)
-        out_ref[row, :] = outv.astype(out_ref.dtype)
-
-        # ---- quantize the new slot + aliased ring write -------------
-        def quant(x_s, d_flat, seg):
-            # per-head amax WITHOUT lane-splitting reshapes (Mosaic
-            # rejects [bb, D] -> [bb, F, nh*dim] shape casts): mask
-            # the flat row with each head's 0/1 segment column and
-            # max over all lanes
-            ax = jnp.abs(x_s)                        # [bb, d_flat]
-            amax = []
-            for h in range(n_head):
-                amax.append(jnp.max(ax * seg[:, h][None, :],
-                                    axis=-1)[:, None])
-            amax = jnp.concatenate(amax, axis=1)     # [bb, nh]
-            sc = jnp.maximum(amax, 1e-12) / 127.0
-            lane_sc = sc @ seg.T                     # [bb, d_flat]
-            q8 = jnp.clip(jnp.round(x_s / lane_sc), -127, 127)
-            return q8.astype(jnp.int8), sc
-
-        k8, k_sc = quant(kt_s, dk, segk)
-        v8, v_sc = quant(vt_s, dv, segv)
-        k8_ref[slot] = k8
-        v8_ref[slot] = v8
-        # scales leave as small [B, nh] outputs; the wrapper does the
-        # slot write in XLA (50 KB — avoids dynamic middle-dim VMEM
-        # stores, the least-supported construct this kernel would
-        # otherwise need)
-        ksc_ref[row, :] = k_sc
-        vsc_ref[row, :] = v_sc
-        kw = pltpu.make_async_copy(
-            k8_ref.at[slot], kbuf_out.at[pl.ds(s * bb, bb), pos],
-            wsems.at[0, slot])
-        vw = pltpu.make_async_copy(
-            v8_ref.at[slot], vbuf_out.at[pl.ds(s * bb, bb), pos],
-            wsems.at[1, slot])
-        kw.start()
-        vw.start()
-        # small (~70 KB) writes: wait in place so the parity scratch
-        # is free for slab s+2 (reads stay double-buffered — they are
-        # the 26.8 MB that matters)
-        kw.wait()
-        vw.wait()
-        return 0
-
-    jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+    k8f, k_sc = quant(kt, segk)
+    v8f, v_sc = quant(vt, segv)
+    wstart = (pos // 8) * 8
+    loc = pos - wstart                             # 0..7 within window
+    w8 = jax.lax.broadcasted_iota(jnp.int32, (bb, 8, 1), 1)
+    hit = w8 == loc
+    # the select runs in f32 (Mosaic rejects sub-32-bit [bb, D] ->
+    # [bb, 1, D] broadcasts); int8 <-> f32 round-trips exactly in
+    # [-127, 127], so the untouched window slots are bit-preserved
+    kwin_ref[:, :, :] = jnp.where(
+        hit, k8f[:, None, :],
+        kbuf_ref[:, pl.ds(wstart, 8), :].astype(jnp.float32)
+    ).astype(jnp.int8)
+    vwin_ref[:, :, :] = jnp.where(
+        hit, v8f[:, None, :],
+        vbuf_ref[:, pl.ds(wstart, 8), :].astype(jnp.float32)
+    ).astype(jnp.int8)
+    kscw_ref[:, :, :] = jnp.where(
+        hit, k_sc[:, None, :], ks_ref[:, pl.ds(wstart, 8), :])
+    vscw_ref[:, :, :] = jnp.where(
+        hit, v_sc[:, None, :], vs_ref[:, pl.ds(wstart, 8), :])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f", "n_head", "block_rows", "w_chunk",
-                              "interpret"))
-def attention_section_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
-                                  v_buf, v_scale, pos, *, f: int,
-                                  n_head: int, block_rows: int = 8,
-                                  w_chunk: int = 7,
-                                  interpret: bool = False):
-    """Fused v2 int8 ring attention step (contract of
-    ops.attention.ring_attend_int8_native, Pallas TPU): scores ->
-    softmax -> weighted-V -> quantize -> single-slot ring write, with
-    the int8 ring buffers HBM-resident and aliased in place."""
+    jax.jit, static_argnames=("f", "n_head", "w_real", "block_rows",
+                              "w_chunk", "interpret"))
+def ring_attend_int8_step_pallas(q_t, k_t, v_t, k_buf, k_scale,
+                                 v_buf, v_scale, pos, *, f: int,
+                                 n_head: int, w_real: int,
+                                 block_rows: int = 16,
+                                 w_chunk: int = 0,
+                                 interpret: bool = False):
+    """Full v2 int8 ring step (contract of
+    ops.attention.ring_attend_int8_native on the padded ring):
+    quantize -> aliased 8-slot-window write -> masked scores ->
+    softmax -> weighted V, one auto-pipelined Pallas kernel. The ring
+    arrays hold ceil(w_real/8)*8 physical slots; `pos` cycles mod
+    w_real. Returns (out, new_k_buf, new_k_scale, new_v_buf,
+    new_v_scale, new_pos)."""
     b, dk = q_t.shape
     dv = v_t.shape[-1]
-    w1 = k_buf.shape[1]
+    wp = k_buf.shape[1]
+    nh = k_scale.shape[-1]
+    assert wp % 8 == 0 and wp >= w_real, (wp, w_real)
     bb = min(block_rows, b)
+    if w_chunk <= 0:
+        w_chunk = wp                              # one whole-ring chunk
     pad = (-b) % bb
     if pad:
         q_t = jnp.pad(q_t, ((0, pad), (0, 0)))
@@ -350,61 +331,83 @@ def attention_section_int8_pallas(q_t, k_t, v_t, k_buf, k_scale,
         v_scale = jnp.pad(v_scale, ((0, pad), (0, 0), (0, 0)))
     bp = b + pad
 
+    kernel = functools.partial(_ring_v2_step_kernel, f=f,
+                               n_head=n_head, w_real=w_real,
+                               w_chunk=w_chunk)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    kernel = functools.partial(_section_kernel, f=f, n_head=n_head,
-                               bb=bb, w_chunk=w_chunk)
-    nh = k_scale.shape[-1]
-    out, ksc, vsc, nkb, nvb = pl.pallas_call(
+    win = lambda i, p: (i, p[0] // 8, 0)
+    out, nkb, nks, nvb, nvs = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # pos
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # k_t
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_t
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # k_scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_scale
-            pl.BlockSpec(memory_space=pltpu.HBM),    # k_buf
-            pl.BlockSpec(memory_space=pltpu.HBM),    # v_buf
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # out
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # new-slot k scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # new-slot v scale
-            pl.BlockSpec(memory_space=pltpu.HBM),    # new k_buf
-            pl.BlockSpec(memory_space=pltpu.HBM),    # new v_buf
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bp // bb,),
+            in_specs=[
+                pl.BlockSpec((bb, dk), lambda i, p: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, dk), lambda i, p: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, dv), lambda i, p: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, wp, nh), lambda i, p: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, wp, nh), lambda i, p: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, wp, dk), lambda i, p: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, wp, dv), lambda i, p: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bb, dv), lambda i, p: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 8, dk), win,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 8, nh), win,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 8, dv), win,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 8, nh), win,
+                             memory_space=pltpu.VMEM),
+            ]),
         out_shape=[
             jax.ShapeDtypeStruct((bp, dv), q_t.dtype),
-            jax.ShapeDtypeStruct((bp, nh), jnp.float32),
-            jax.ShapeDtypeStruct((bp, nh), jnp.float32),
-            jax.ShapeDtypeStruct((bp, w1, dk), jnp.int8),
-            jax.ShapeDtypeStruct((bp, w1, dv), jnp.int8),
+            jax.ShapeDtypeStruct((bp, wp, dk), jnp.int8),
+            jax.ShapeDtypeStruct((bp, wp, nh), jnp.float32),
+            jax.ShapeDtypeStruct((bp, wp, dv), jnp.int8),
+            jax.ShapeDtypeStruct((bp, wp, nh), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, bb, w1, dk), jnp.int8),   # kslab
-            pltpu.VMEM((2, bb, w1, dv), jnp.int8),   # vslab
-            pltpu.VMEM((2, bb, dk), jnp.int8),       # k8 write buf
-            pltpu.VMEM((2, bb, dv), jnp.int8),       # v8 write buf
-            pltpu.SemaphoreType.DMA((2, 2)),         # read sems
-            pltpu.SemaphoreType.DMA((2, 2)),         # write sems
-        ],
-        input_output_aliases={6: 3, 7: 4},
+        # args: 0=pos, 1=q, 2=kt, 3=vt, 4=k_scale, 5=v_scale,
+        #       6=k_buf, 7=v_buf
+        input_output_aliases={6: 1, 4: 2, 7: 3, 5: 4},
+        # Mosaic's stack allocator keeps every unrolled w-chunk's f32
+        # temporaries live at once; the true high-water mark fits v5e
+        # VMEM comfortably, so raise the per-kernel cap instead of
+        # serializing chunks (the whole-ring chunk is the measured
+        # fastest configuration).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(pos_arr, q_t, k_t, v_t,
-      k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
-      k_buf, v_buf)
+    )(pos_arr, q_t, k_t, v_t, k_scale.astype(jnp.float32),
+      v_scale.astype(jnp.float32), k_buf, v_buf)
     if pad:
-        out, ksc, vsc = out[:b], ksc[:b], vsc[:b]
-        nkb, nvb = nkb[:b], nvb[:b]
-        k_scale, v_scale = k_scale[:b], v_scale[:b]
-    # the scale arrays' single-slot write happens here in XLA (50 KB);
-    # the kernel only writes the big int8 buffers via aliased DMA
+        out = out[:b]
+        nkb, nks = nkb[:b], nks[:b]
+        nvb, nvs = nvb[:b], nvs[:b]
     posj = jnp.asarray(pos)
-    nks = jax.lax.dynamic_update_slice_in_dim(
-        k_scale.astype(jnp.float32), ksc[:, None], posj, axis=1)
-    nvs = jax.lax.dynamic_update_slice_in_dim(
-        v_scale.astype(jnp.float32), vsc[:, None], posj, axis=1)
-    return out, nkb, nks, nvb, nvs, (posj + 1) % w1
+    return out, nkb, nks, nvb, nvs, (posj + 1) % w_real
+
+
+# --- head-segment helper (shared by the v2 consumer kernel) -----------
+
+
+def _head_segments(d_flat: int, f: int, n_head: int):
+    """[D, nh] 0/1 matrix: column d belongs to head (d % (nh*dim))
+    // dim, for flat (f, h, d) column order."""
+    per_f = d_flat // f
+    dim = per_f // n_head
+    col = jax.lax.broadcasted_iota(jnp.int32, (d_flat, n_head), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (d_flat, n_head), 1)
+    return ((col % per_f) // dim == head).astype(jnp.float32)
 
 
 def pallas_enabled() -> bool:
@@ -421,23 +424,40 @@ def pallas_enabled() -> bool:
         return False
 
 
-def attn_int8_pallas_enabled() -> bool:
-    """Gate for the fused int8 attention section kernel: OPT-IN
-    (LOOKONCE_ATTN_INT8_PALLAS=1) and TPU-only.
+def attn_int8_consumer_pallas_enabled() -> bool:
+    """Gate for the v2 int8 ring STEP kernel
+    (ring_attend_int8_step_pallas): default-ON on real TPUs, where
+    being the ring's only reader+writer pins the serving scan's
+    carry layout and removes ~27 MB/block/step of XLA relayout
+    copies (PERF.md round 3 — the change that took serving RTF from
+    0.148 to 0.097); off on CPU; disabled by the LOOKONCE_NO_PALLAS
+    kill switch (same as the fused BiLSTM)."""
+    import os
+    if os.environ.get("LOOKONCE_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
-    Measured round 3 (perf/attn_path_breakdown.py): the projection-
-    native v2 LAYOUT is what matters — the plain-XLA v2 ring step
-    streams at ~600 GB/s effective (0.045 ms/block incl. quantize +
-    slot write), already at this chip's ceiling, so XLA is the
-    default. The fused kernel remains for experimentation; its
-    manual-DMA form additionally trips a Mosaic limitation
-    (memref_slice on (8,128)-tiled HBM refs) on this toolchain.
+
+def attn_int8_pallas_enabled() -> bool:
+    """Gate for the v1-layout fused int8 attention kernel
+    (attention_step_int8_pallas, used by ring_attend_int8): OPT-IN
+    (LOOKONCE_ATTN_INT8_PALLAS=1) and TPU-only. The serving path
+    uses the v2 step kernel instead (default-on via
+    attn_int8_consumer_pallas_enabled).
 
     Summary of the kernel knobs:
       LOOKONCE_PALLAS=1            opt IN to the f32/bf16 attention kernel
-      LOOKONCE_ATTN_INT8_PALLAS=1  opt IN to the fused int8 section kernel
-      LOOKONCE_NO_PALLAS=1         opt OUT of all fused kernels
-                                   (incl. the default-on fused BiLSTM)
+      LOOKONCE_ATTN_INT8_PALLAS=1  opt IN to the v1 fused int8 kernel
+      LOOKONCE_NO_PALLAS=1         opt OUT of all fused kernels (incl.
+                                   the default-on fused BiLSTM and the
+                                   v2 int8 ring step kernel)
+      LOOKONCE_ATTN_BLOCK_ROWS / LOOKONCE_ATTN_WCHUNK
+                                   v2 step-kernel blocking overrides
+                                   (defaults 16 / whole-ring — the
+                                   measured winners)
     """
     import os
     if os.environ.get("LOOKONCE_NO_PALLAS"):

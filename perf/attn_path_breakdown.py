@@ -41,7 +41,9 @@ from lookoncetohear_tpu.models.streaming_tfgridnet import \
 B, C, F, H, NH, W = 64, 64, 97, 64, 4, 50
 E, VD = 6, 16
 DK, DV = F * E, F * VD
-N1, N2, REP = 50, 250, 4
+N1 = int(os.environ.get("BD_N1", 50))
+N2 = int(os.environ.get("BD_N2", 250))
+REP = int(os.environ.get("BD_REP", 4))
 DT = jnp.bfloat16
 rng = np.random.default_rng(0)
 
@@ -183,18 +185,18 @@ def proj_row():
 
 
 def native_row(pallas: bool, tag: str):
-    """v2 projection-native int8 ring (incl. quantize + slot write) at
-    the serving shape."""
+    """v2 projection-native int8 W-slot write-first ring (incl.
+    quantize + slot write) at the serving shape."""
     import os
     dk, dvv = F * NH * E, F * NH * VD
     q0 = jnp.asarray(rng.standard_normal((B, dk)), DT)
     kt = jnp.asarray(rng.standard_normal((B, dk)), DT)
     vt = jnp.asarray(rng.standard_normal((B, dvv)), DT)
-    k8 = jnp.asarray(rng.integers(-127, 128, (B, W - 1, dk)), jnp.int8)
-    v8 = jnp.asarray(rng.integers(-127, 128, (B, W - 1, dvv)), jnp.int8)
-    ks = jnp.asarray(rng.uniform(0.001, 0.02, (B, W - 1, NH)),
+    k8 = jnp.asarray(rng.integers(-127, 128, (B, W, dk)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (B, W, dvv)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.001, 0.02, (B, W, NH)),
                      jnp.float32)
-    vs = jnp.asarray(rng.uniform(0.001, 0.02, (B, W - 1, NH)),
+    vs = jnp.asarray(rng.uniform(0.001, 0.02, (B, W, NH)),
                      jnp.float32)
     from lookoncetohear_tpu.ops.attention import ring_attend_int8_native
     if not pallas:

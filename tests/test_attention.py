@@ -214,12 +214,15 @@ class TestInt8Ring:
 
 class TestInt8NativeRing:
     """Projection-native ('v2') int8 ring: flat (f, h, d) slots,
-    per-(row, slot, head) scales, fused slot write
-    (ops/attention.py ring_attend_int8_native + the fused Pallas
-    section kernel). The serving layout that removes the per-step
-    head transpose and the lane-axis reductions (PERF.md round 3)."""
+    per-(row, slot, head) scales, write-first slot update on a
+    slot-padded ring (ops/attention.py ring_attend_int8_native + the
+    Pallas step kernel). The serving layout that removes the
+    per-step head transpose, the lane-axis reductions, and the
+    in-scan relayout copies (PERF.md round 3)."""
 
-    F, NH, E, VD, W1, B = 5, 4, 3, 2, 6, 8
+    F, NH, E, VD, B = 5, 4, 3, 2, 8
+    W = 6          # real attention window
+    WP = 8         # padded physical slots (ceil(W/8)*8)
 
     def _mk(self, seed=21):
         rng = np.random.default_rng(seed)
@@ -228,15 +231,17 @@ class TestInt8NativeRing:
         q = jnp.asarray(rng.standard_normal((self.B, dk)), jnp.float32)
         kt = jnp.asarray(rng.standard_normal((self.B, dk)), jnp.float32)
         vt = jnp.asarray(rng.standard_normal((self.B, dv)), jnp.float32)
-        kb = jnp.asarray(rng.integers(-127, 128, (self.B, self.W1, dk)),
+        # dead padding slots (index >= W) get RANDOM content so the
+        # tests prove the softmax mask really excludes them
+        kb = jnp.asarray(rng.integers(-127, 128, (self.B, self.WP, dk)),
                          jnp.int8)
-        vb = jnp.asarray(rng.integers(-127, 128, (self.B, self.W1, dv)),
+        vb = jnp.asarray(rng.integers(-127, 128, (self.B, self.WP, dv)),
                          jnp.int8)
         ks = jnp.asarray(rng.uniform(1e-3, 2e-2,
-                                     (self.B, self.W1, self.NH)),
+                                     (self.B, self.WP, self.NH)),
                          jnp.float32)
         vs = jnp.asarray(rng.uniform(1e-3, 2e-2,
-                                     (self.B, self.W1, self.NH)),
+                                     (self.B, self.WP, self.NH)),
                          jnp.float32)
         return q, kt, vt, kb, ks, vb, vs
 
@@ -247,27 +252,38 @@ class TestInt8NativeRing:
         return jnp.asarray(x.reshape(self.B * self.NH, self.F * dim))
 
     def test_native_matches_headmajor_v1_path(self):
-        """v2 == the round-2 head-major int8 path on the same data:
-        both quantize per (row, head) and compute f32 scores, so the
-        relayout must be the ONLY difference."""
+        """v2 (write-first, padded ring) == the round-2 head-major
+        int8 path on the same data: both quantize per (row, head) and
+        compute f32 scores, so the layout must be the ONLY
+        difference. The v2 ring writes the current frame into slot
+        `pos` before attending (masked in the softmax) and never
+        reads the dead padding slots, so the v1 comparison uses the
+        other W-1 real slots as its history."""
         q, kt, vt, kb, ks, vb, vs = self._mk()
         pos = jnp.asarray(2, jnp.int32)
         out, nkb, nks, nvb, nvs, npos = att.ring_attend_int8_native(
-            q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH)
+            q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH,
+            w=self.W)
 
-        # v1 rows: head-major flatten of the same buffers/frames
-        kb5 = np.asarray(kb).reshape(self.B, self.W1, self.F, self.NH,
-                                     self.E).transpose(0, 3, 1, 2, 4)
-        kb1 = jnp.asarray(kb5.reshape(self.B * self.NH, self.W1,
+        # v1 rows: head-major flatten of the W-1 surviving real
+        # history slots (slot `pos` is overwritten + masked; padding
+        # slots are masked; ring attention is slot-order-invariant)
+        hist = [i for i in range(self.W) if i != 2]
+        nh1 = len(hist)
+        kb5 = np.asarray(kb)[:, hist].reshape(
+            self.B, nh1, self.F, self.NH,
+            self.E).transpose(0, 3, 1, 2, 4)
+        kb1 = jnp.asarray(kb5.reshape(self.B * self.NH, nh1,
                                       self.F * self.E))
-        vb5 = np.asarray(vb).reshape(self.B, self.W1, self.F, self.NH,
-                                     self.VD).transpose(0, 3, 1, 2, 4)
-        vb1 = jnp.asarray(vb5.reshape(self.B * self.NH, self.W1,
+        vb5 = np.asarray(vb)[:, hist].reshape(
+            self.B, nh1, self.F, self.NH,
+            self.VD).transpose(0, 3, 1, 2, 4)
+        vb1 = jnp.asarray(vb5.reshape(self.B * self.NH, nh1,
                                       self.F * self.VD))
-        ks1 = jnp.asarray(np.asarray(ks).transpose(0, 2, 1).reshape(
-            self.B * self.NH, self.W1))
-        vs1 = jnp.asarray(np.asarray(vs).transpose(0, 2, 1).reshape(
-            self.B * self.NH, self.W1))
+        ks1 = jnp.asarray(np.asarray(ks)[:, hist].transpose(
+            0, 2, 1).reshape(self.B * self.NH, nh1))
+        vs1 = jnp.asarray(np.asarray(vs)[:, hist].transpose(
+            0, 2, 1).reshape(self.B * self.NH, nh1))
         out1 = att.ring_attend_int8(
             self._to_v1(q, self.E), self._to_v1(kt, self.E),
             self._to_v1(vt, self.VD), kb1, ks1, vb1, vs1)
@@ -286,11 +302,12 @@ class TestInt8NativeRing:
                                    atol=2e-2)
         assert int(npos) == 3
 
-    def test_fused_kernel_matches_fallback(self):
-        """The fused Pallas section kernel (interpret) == the XLA
-        fallback, bit-exact on the int8 writes."""
+    def test_step_kernel_matches_fallback(self):
+        """The Pallas step kernel (interpret) — the serving default
+        on TPU — == the XLA fallback, bit-exact on the int8 ring
+        writes (incl. the untouched slots of the written window)."""
         from lookoncetohear_tpu.ops.pallas_attention import \
-            attention_section_int8_pallas
+            ring_attend_int8_step_pallas
         q, kt, vt, kb, ks, vb, vs = self._mk(seed=22)
         pos = jnp.asarray(4, jnp.int32)
         import os
@@ -298,12 +315,12 @@ class TestInt8NativeRing:
         try:
             ref = att.ring_attend_int8_native(
                 q, kt, vt, kb, ks, vb, vs, pos, f=self.F,
-                n_head=self.NH)
+                n_head=self.NH, w=self.W)
         finally:
             del os.environ["LOOKONCE_NO_PALLAS"]
-        got = attention_section_int8_pallas(
+        got = ring_attend_int8_step_pallas(
             q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH,
-            interpret=True, block_rows=4, w_chunk=4)
+            w_real=self.W, block_rows=8, w_chunk=4, interpret=True)
         for name, a, b in zip(
                 ("out", "k_buf", "k_scale", "v_buf", "v_scale", "pos"),
                 ref, got):
@@ -313,3 +330,32 @@ class TestInt8NativeRing:
             else:
                 np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
                                            err_msg=name)
+
+    def test_write_first_slot_isolation(self):
+        """Stepping twice writes two distinct slots and leaves the
+        others (incl. the dead padding slots) untouched."""
+        q, kt, vt, kb, ks, vb, vs = self._mk(seed=25)
+        pos = jnp.asarray(0, jnp.int32)
+        _, k1, ks1, v1, vs1, pos1 = att.ring_attend_int8_native(
+            q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH,
+            w=self.W)
+        _, k2, _, _, _, pos2 = att.ring_attend_int8_native(
+            q, 2.0 * kt, vt, k1, ks1, v1, vs1, pos1, f=self.F,
+            n_head=self.NH, w=self.W)
+        assert int(pos1) == 1 and int(pos2) == 2
+        np.testing.assert_array_equal(np.asarray(k2)[:, 0],
+                                      np.asarray(k1)[:, 0])
+        np.testing.assert_array_equal(
+            np.asarray(k2)[:, 3:], np.asarray(kb)[:, 3:])
+
+    def test_pos_wraps_at_real_window(self):
+        """The cursor cycles mod W (the real window), never touching
+        the padding slots."""
+        q, kt, vt, kb, ks, vb, vs = self._mk(seed=26)
+        pos = jnp.asarray(self.W - 1, jnp.int32)
+        _, nkb, _, _, _, npos = att.ring_attend_int8_native(
+            q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH,
+            w=self.W)
+        assert int(npos) == 0
+        np.testing.assert_array_equal(np.asarray(nkb)[:, self.W:],
+                                      np.asarray(kb)[:, self.W:])
