@@ -20,6 +20,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 sys.path.insert(0, "/root/repo")
 
 import jax
+# honor JAX_PLATFORMS before backend init (the env var alone does not
+# override the programmatically-registered axon platform)
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -4,6 +4,12 @@ transport."""
 import os, time, sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np
+# honor JAX_PLATFORMS before backend init (the env var alone does not
+# override the programmatically-registered axon platform)
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 sys.path.insert(0, "/root/repo")
 from lookoncetohear_tpu.models.net import Net
 from __graft_entry__ import FLAGSHIP

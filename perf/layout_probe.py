@@ -16,6 +16,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/repo/.jax_cache")
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
+# honor JAX_PLATFORMS before backend init (the env var alone does not
+# override the programmatically-registered axon platform)
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 
 B, W1, DK, DV = 256, 49, 582, 1552
 N1, N2, REP = 50, 250, 4

@@ -1,6 +1,12 @@
 import os, time, sys, functools
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np
+# honor JAX_PLATFORMS before backend init (the env var alone does not
+# override the programmatically-registered axon platform)
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 sys.path.insert(0, "/root/repo")
 from lookoncetohear_tpu.ops.pallas_lstm import bilstm_scan_pallas
 
