@@ -21,31 +21,107 @@ methodology"). Prints ONE JSON line:
 
 vs_baseline > 1 means the north-star target (RTF < 0.1/stream at 64
 concurrent streams, /root/repo/BASELINE.md) is beaten by that factor.
+
+WEDGE RESILIENCE: the measurement runs in a child subprocess under a
+supervisor with per-attempt hard timeouts and bounded retry/backoff
+(budget $LOOKONCE_BENCH_BUDGET_S, default 40 min; per-attempt
+$LOOKONCE_BENCH_ATTEMPT_S, default 15 min), because the proxied v5e
+wedges — hangs, not errors — after any client dies mid-op and needs
+idle time to recover. If no attempt succeeds inside the budget the
+supervisor still exits 0 with a JSON line carrying an explicit
+"error" field, so the driver's BENCH snapshot is always parseable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(
                           os.path.abspath(__file__)), ".jax_cache"))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-
-N_STREAMS = 64
+N_STREAMS = int(os.environ.get("LOOKONCE_BENCH_NSTREAMS", 64))
 CHUNK = 128
-STEPS_SHORT = 100
-STEPS_LONG = 500
-REPEATS = 4
+STEPS_SHORT = int(os.environ.get("LOOKONCE_BENCH_STEPS_SHORT", 100))
+STEPS_LONG = int(os.environ.get("LOOKONCE_BENCH_STEPS_LONG", 500))
+REPEATS = int(os.environ.get("LOOKONCE_BENCH_REPEATS", 4))
+
+_METRIC = f"streaming_rtf_{N_STREAMS}"
+_CHILD_ENV = "_LOOKONCE_BENCH_CHILD"
+# The proxied v5e WEDGES (hangs at backend init, or mid-op) if any
+# client died mid-op; recovery needs idle time. A wedged attempt hangs
+# forever rather than erroring, so the supervisor gives each attempt a
+# hard timeout and retries with backoff inside a bounded budget, then
+# emits an explicit {"error": ...} JSON line instead of a stack trace
+# (VERDICT r3 "What's weak" #1 / "Next round" #1).
+_ATTEMPT_TIMEOUT_S = int(os.environ.get("LOOKONCE_BENCH_ATTEMPT_S", 900))
+_BUDGET_S = int(os.environ.get("LOOKONCE_BENCH_BUDGET_S", 2400))
+_BACKOFFS = (60, 180, 300, 600, 600)
+
+
+def supervise() -> int:
+    """Run the measurement in child subprocesses until one prints a
+    valid JSON result or the time budget runs out; always end by
+    printing exactly ONE JSON line on stdout."""
+    import subprocess
+    t0 = time.monotonic()
+    env = dict(os.environ, **{_CHILD_ENV: "1"})
+    last_err = "no attempt ran"
+    attempt = 0
+    while True:
+        remaining = _BUDGET_S - (time.monotonic() - t0)
+        if attempt > 0 and remaining <= 0:
+            break
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=min(_ATTEMPT_TIMEOUT_S,
+                            max(remaining, 120) if attempt > 1
+                            else _ATTEMPT_TIMEOUT_S))
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and rec.get("metric"):
+                    print(line if line == json.dumps(rec)
+                          else json.dumps(rec))
+                    return 0
+            tail = (proc.stderr or proc.stdout or "").strip()
+            last_err = (f"attempt {attempt} rc={proc.returncode}: "
+                        f"{tail[-400:] or 'no output'}")
+        except subprocess.TimeoutExpired:
+            last_err = (f"attempt {attempt} hung > "
+                        f"{_ATTEMPT_TIMEOUT_S}s (wedged TPU?)")
+        print(f"# bench {last_err}", file=sys.stderr, flush=True)
+        remaining = _BUDGET_S - (time.monotonic() - t0)
+        if remaining <= 0:
+            break
+        pause = _BACKOFFS[min(attempt - 1, len(_BACKOFFS) - 1)]
+        time.sleep(min(pause, remaining))
+    print(json.dumps({
+        "metric": _METRIC, "value": None, "unit": "xRT",
+        "vs_baseline": None,
+        "error": f"TPU unreachable within {_BUDGET_S}s budget; "
+                 f"last: {last_err}",
+    }))
+    return 0
 
 
 def main() -> None:
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon TPU plugin ignores the env var alone — force it
+        # before backend init so CPU test runs stay off the chip
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+    import numpy as np
+
     from __graft_entry__ import FLAGSHIP, _model
 
     model = _model()
@@ -99,4 +175,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_ENV):
+        main()
+    else:
+        sys.exit(supervise())

@@ -179,11 +179,20 @@ class DataLoader:
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Move batches to device `size` steps ahead of consumption on a
     background thread, overlapping host rendering + H2D DMA with TPU
-    compute. Non-array leaves pass through untouched."""
+    compute. Non-array leaves pass through untouched.
+
+    Multi-process: each host feeds its LOCAL rows of the global batch;
+    `jax.make_array_from_process_local_data` assembles the global
+    jax.Array over the full mesh (the DDP data path — each rank's
+    loader shard becomes that rank's slice of the global batch)."""
+    multiproc = jax.process_count() > 1
 
     def _put(batch):
         def leaf(x):
             if isinstance(x, np.ndarray) and x.dtype.kind in "fiub":
+                if multiproc and sharding is not None:
+                    return jax.make_array_from_process_local_data(
+                        sharding, x)
                 return jax.device_put(x, sharding)
             return x
         return jax.tree_util.tree_map(leaf, batch)

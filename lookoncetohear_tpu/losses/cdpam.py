@@ -163,46 +163,111 @@ class CDPAM:
         np.savez(path, **flat)
 
     def load_torch_state(self, path: str) -> None:
-        """Map a torch CDPAM state_dict onto this encoder by layer
-        order + shape: torch Conv1d [out, in, k] -> flax [k, in, out],
-        Linear [out, in] -> [in, out]; BatchNorm1d gamma/beta/mean/var
-        by matching channel width in encounter order."""
+        """Map a torch CDPAM state_dict onto this encoder.
+
+        Conv/Linear weights are matched by shape in ENCOUNTER ORDER
+        against candidate lists built ONCE and consumed as they match
+        (so e.g. the many same-shape 64->64 convs each get a distinct
+        tensor). Biases and BatchNorm gamma/beta/mean/var are keyed by
+        the torch MODULE PREFIX of the tensor they belong to (the
+        conv's sibling `.bias`; the next unconsumed BN module of the
+        conv's output width), never by bare shape, so a BN bias can
+        never masquerade as a conv bias. Transposes: torch Conv1d
+        [out, in, k] -> flax [k, in, out]; Linear [out, in] ->
+        [in, out]. Raises if any kernel or (present-in-checkpoint) BN
+        module fails to map, with a loaded-vs-expected accounting.
+        """
         import torch
         sd = torch.load(path, map_location="cpu")
         if isinstance(sd, dict) and "state" in sd:
             sd = sd["state"]
-        convs = [(k, v) for k, v in sd.items()
+
+        def prefix_of(key: str, suffix: str) -> str:
+            # "enc.conv0.weight" -> "enc.conv0"; bare "weight" -> ""
+            return key[: -len(suffix)].rstrip(".")
+
+        # Candidate module lists, built ONCE, consumed as matched.
+        convs = [(prefix_of(k, "weight"), v) for k, v in sd.items()
                  if v.ndim == 3 and k.endswith("weight")]
-        lins = [(k, v) for k, v in sd.items()
+        lins = [(prefix_of(k, "weight"), v) for k, v in sd.items()
                 if v.ndim == 2 and k.endswith("weight")]
+        bns = [prefix_of(k, "running_mean") for k, v in sd.items()
+               if k.endswith("running_mean") and v.ndim == 1]
+
+        def sib(prefix: str, leaf: str):
+            return sd.get(f"{prefix}.{leaf}" if prefix else leaf)
+
         p = jax.tree_util.tree_map(np.asarray, _flatten(self.params))
         bs = jax.tree_util.tree_map(np.asarray,
                                     _flatten(self.batch_stats))
+        loaded: list = []
+        missing: list = []
+
         for i in range(self.encoder.n_layers):
             wk = f"conv_{i}/kernel"
             want = p[wk].shape  # [k, in, out]
-            src = [v for _, v in convs
-                   if tuple(v.shape) == (want[2], want[1], want[0])]
-            if not src:
+            idx = next((j for j, (_, v) in enumerate(convs)
+                        if tuple(v.shape) == (want[2], want[1],
+                                              want[0])), None)
+            if idx is None:
                 raise ValueError(
-                    f"no torch conv matches layer {i} {want}")
-            w = src.pop(0).numpy()
-            p[wk] = np.transpose(w, (2, 1, 0))
-            bias_key = f"conv_{i}/bias"
-            if bias_key in p:
-                cand = [v for k, v in sd.items()
-                        if v.ndim == 1 and k.endswith("bias")
-                        and v.shape[0] == want[2]]
-                if cand:
-                    p[bias_key] = cand[0].numpy()
-        heads = [k for k in p if k.endswith("fc0/kernel")
-                 or k.endswith("fc1/kernel")]
-        for hk in sorted(heads):
+                    f"no unconsumed torch conv matches layer {i} "
+                    f"(flax kernel shape {want})")
+            cpfx, w = convs.pop(idx)
+            p[wk] = np.transpose(w.numpy(), (2, 1, 0))
+            loaded.append(wk)
+            tb = sib(cpfx, "bias")
+            if f"conv_{i}/bias" in p:
+                if tb is not None and tb.ndim == 1 \
+                        and tb.shape[0] == want[2]:
+                    p[f"conv_{i}/bias"] = tb.numpy()
+                    loaded.append(f"conv_{i}/bias")
+                # absent torch bias == Conv1d(bias=False) before BN:
+                # flax zeros are exactly equivalent, not a failure.
+            # Sibling BatchNorm: next unconsumed BN of this width.
+            bidx = next(
+                (j for j, bp in enumerate(bns)
+                 if sib(bp, "running_mean").shape[0] == want[2]), None)
+            if bidx is not None:
+                bp = bns.pop(bidx)
+                pairs = [("scale", p, sib(bp, "weight")),
+                         ("bias", p, sib(bp, "bias")),
+                         ("mean", bs, sib(bp, "running_mean")),
+                         ("var", bs, sib(bp, "running_var"))]
+                for leaf, tree, tv in pairs:
+                    key = f"bn_{i}/{leaf}"
+                    if tv is not None and key in tree:
+                        tree[key] = tv.numpy()
+                        loaded.append(key)
+            elif bns or any(k.endswith("running_mean")
+                            for k in sd):
+                missing.append(f"bn_{i} (no BN of width {want[2]})")
+
+        for hk in sorted(k for k in p if k.endswith("fc0/kernel")
+                         or k.endswith("fc1/kernel")):
             want = p[hk].shape  # [in, out]
-            src = [v for _, v in lins
-                   if tuple(v.shape) == (want[1], want[0])]
-            if src:
-                p[hk] = src.pop(0).numpy().T
+            idx = next((j for j, (_, v) in enumerate(lins)
+                        if tuple(v.shape) == (want[1], want[0])), None)
+            if idx is None:
+                missing.append(hk)
+                continue
+            lpfx, w = lins.pop(idx)
+            p[hk] = w.numpy().T
+            loaded.append(hk)
+            tb = sib(lpfx, "bias")
+            bk = hk[: -len("kernel")] + "bias"
+            if bk in p and tb is not None and tb.ndim == 1 \
+                    and tb.shape[0] == want[1]:
+                p[bk] = tb.numpy()
+                loaded.append(bk)
+
+        if missing:
+            raise ValueError(
+                f"torch CDPAM checkpoint did not cover: {missing} "
+                f"(loaded {len(loaded)} tensors)")
+        logging.info("cdpam: loaded %d tensors from %s "
+                     "(%d convs / %d linears left unconsumed)",
+                     len(loaded), path, len(convs), len(lins))
         self.params = _unflatten(p)
         self.batch_stats = _unflatten(bs)
 

@@ -88,11 +88,23 @@ class LossFn:
         elif name == "l1_mel":
             self._fn = L1_Mel()
         elif name == "cdpam":
-            # constructs offline with random init; pretrained weights
-            # load iff $LOOKONCE_CDPAM_WEIGHTS points at a file
-            # (losses/cdpam.py — reference perceptual_losses.py:7-17)
+            # Pretrained weights load iff $LOOKONCE_CDPAM_WEIGHTS (or
+            # weights=...) points at a file (losses/cdpam.py —
+            # reference perceptual_losses.py:7-17). As a TRAINING loss
+            # an untrained random-net distance is perceptually
+            # meaningless, so constructing without weights requires an
+            # explicit allow_random=True opt-in here (metric/offline
+            # use can instantiate CDPAM directly).
             from lookoncetohear_tpu.losses.cdpam import CDPAM
-            self._fn = CDPAM(**kwargs)
+            allow_random = bool(kwargs.pop("allow_random", False))
+            fn = CDPAM(**kwargs)
+            if not fn.pretrained and not allow_random:
+                raise ValueError(
+                    "LossFn('cdpam') without pretrained weights: set "
+                    "$LOOKONCE_CDPAM_WEIGHTS (or pass weights=...), or "
+                    "opt in explicitly with allow_random=True to "
+                    "optimize a random-net distance")
+            self._fn = fn
         else:
             raise AssertionError(
                 f"Invalid loss function used: Loss {name} not found")

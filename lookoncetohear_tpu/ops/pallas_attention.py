@@ -419,7 +419,7 @@ def pallas_enabled() -> bool:
     if not os.environ.get("LOOKONCE_PALLAS"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -436,7 +436,7 @@ def attn_int8_consumer_pallas_enabled() -> bool:
     if os.environ.get("LOOKONCE_NO_PALLAS"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -465,6 +465,6 @@ def attn_int8_pallas_enabled() -> bool:
     if not os.environ.get("LOOKONCE_ATTN_INT8_PALLAS"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False

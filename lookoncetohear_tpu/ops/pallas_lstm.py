@@ -115,6 +115,6 @@ def lstm_pallas_enabled() -> bool:
     if os.environ.get("LOOKONCE_NO_PALLAS"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False

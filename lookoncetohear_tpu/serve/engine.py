@@ -252,10 +252,14 @@ class StreamingEngine:
             lat.append(time.perf_counter() - t0)
         lat = np.asarray(lat)
         chunk_s = self.chunk / 16000.0
+        # keys say transport-inclusive OUT LOUD: on a proxied link the
+        # ~27 ms/call round trip dominates and these numbers must never
+        # be quoted as device RTF (that's benchmark_device's job)
         return {
-            "p50_ms": float(np.percentile(lat, 50) * 1e3),
-            "p99_ms": float(np.percentile(lat, 99) * 1e3),
-            "rtf": float(np.median(lat) / chunk_s),
+            "p50_ms_incl_transport": float(np.percentile(lat, 50) * 1e3),
+            "p99_ms_incl_transport": float(np.percentile(lat, 99) * 1e3),
+            "rtf_incl_transport": float(np.median(lat) / chunk_s),
+            "transport_inclusive": True,
             "streams": self.n,
         }
 

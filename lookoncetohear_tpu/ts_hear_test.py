@@ -257,6 +257,13 @@ def _first_batch(config, args):
 
 
 if __name__ == "__main__":
+    # Honor JAX_PLATFORMS BEFORE backend init (the sitecustomize-
+    # registered axon platform ignores the env var alone; without
+    # this a CPU eval run lands on the real chip — see trainer.py)
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     parser = argparse.ArgumentParser()
     parser.add_argument("--dset", type=str, default="test")
     parser.add_argument("--sample", action="store_true", default=False)

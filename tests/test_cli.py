@@ -124,3 +124,28 @@ class TestCLI:
         body = open(script).read()
         assert "git checkout" in body and "--resume" in body
         assert os.path.exists(os.path.join(run_dir, "config.json"))
+
+
+@pytest.mark.slow
+class TestBenchSupervisor:
+    """bench.py wedge resilience (VERDICT r3 #1): the supervisor must
+    ALWAYS end with one parseable JSON line — a result when a child
+    attempt succeeds, an explicit {"error": ...} when the backend
+    never comes up inside the budget — never a stack trace / rc 1."""
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def test_unreachable_backend_yields_error_json(self):
+        env = {**os.environ,
+               "JAX_PLATFORMS": "bogus_backend",
+               "LOOKONCE_BENCH_BUDGET_S": "20",
+               "LOOKONCE_BENCH_ATTEMPT_S": "15"}
+        out = subprocess.run(
+            [sys.executable, os.path.join(self.REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=180,
+            cwd=self.REPO)
+        assert out.returncode == 0, out.stderr[-500:]
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        assert rec["metric"].startswith("streaming_rtf")
+        assert rec["value"] is None and rec["vs_baseline"] is None
+        assert "error" in rec and "budget" in rec["error"]

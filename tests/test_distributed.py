@@ -11,6 +11,7 @@ Runs in subprocesses: jax.distributed freezes the process topology,
 so it must not touch the pytest process's backend.
 """
 
+import json
 import os
 import subprocess
 import sys
@@ -49,6 +50,133 @@ flat = [int(v) for v in np.asarray(all_idx).reshape(-1) if v >= 0]
 assert sorted(flat) == list(range(11)), sorted(flat)
 print(f"OK p{pid}")
 """
+
+
+_FIT_WORKER = r"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+if os.environ.get("LOOKONCE_NUM_PROCESSES"):
+    from lookoncetohear_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize(), "cluster env triggers not seen"
+
+import numpy as np
+from lookoncetohear_tpu.data.loader import DataLoader
+from lookoncetohear_tpu.data.synthetic import SyntheticTSEDataset
+from lookoncetohear_tpu.parallel.mesh import data_mesh
+from lookoncetohear_tpu.train.tasks import TSETask
+from lookoncetohear_tpu.train.trainer import Trainer
+
+TINY = dict(
+    model="lookoncetohear_tpu.models.net.Net",
+    model_params=dict(embed_dim=64, stft_chunk_size=128,
+                      stft_pad_size=64, num_ch=2, D=16, L=2, I=1, J=1,
+                      B=1, H=16, local_atten_len=10, use_attn=True,
+                      lookahead=True, chunk_causal=True),
+    lr=1e-3,
+    scheduler="lookoncetohear_tpu.train.schedule.ReduceLROnPlateau",
+    scheduler_params=dict(mode="min", patience=5, factor=0.5,
+                          min_lr=1e-6),
+)
+
+run_dir = os.environ["FIT_RUN_DIR"]
+epochs = int(os.environ["FIT_EPOCHS"])
+resume = bool(os.environ.get("FIT_RESUME"))
+GLOBAL_BS = 4
+local_bs = max(1, GLOBAL_BS // jax.process_count())
+
+# val n=9: with 2 hosts the shards are 5/4 -> UNEQUAL batch counts
+# (3 vs 2), exercising the lockstep filler + global mask weighting
+tr_ds = SyntheticTSEDataset(dset="train", n_samples=16, duration=0.5,
+                            embed_dim=64, n_speakers=4)
+va_ds = SyntheticTSEDataset(dset="val", n_samples=9, duration=0.5,
+                            embed_dim=64, n_speakers=4)
+train_dl = DataLoader(tr_ds, batch_size=local_bs, shuffle=True, seed=0)
+val_dl = DataLoader(va_ds, batch_size=local_bs, drop_last=False)
+
+task = TSETask(**TINY)
+tr = Trainer(task, run_dir, epochs=epochs, mesh=data_mesh(), seed=42)
+tr.fit(train_dl, val_dl, resume=resume)
+print(f"FIT OK p{jax.process_index()}")
+"""
+
+
+def _run_fit_cluster(run_dir, epochs, *, procs, resume=False,
+                     timeout=600):
+    """Launch the _FIT_WORKER on a `procs`-process CPU cluster (or
+    single-process when procs == 1) and assert every rank succeeds."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_base = {**os.environ,
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+                "FIT_RUN_DIR": str(run_dir),
+                "FIT_EPOCHS": str(epochs),
+                **({"FIT_RESUME": "1"} if resume else {})}
+    env_base.pop("LOOKONCE_COORDINATOR", None)
+    env_base.pop("LOOKONCE_NUM_PROCESSES", None)
+    env_base.pop("LOOKONCE_PROCESS_ID", None)
+    if procs > 1:
+        env_base.update(LOOKONCE_COORDINATOR="localhost:12947",
+                        LOOKONCE_NUM_PROCESSES=str(procs))
+    ps = []
+    for pid in range(procs):
+        env = dict(env_base)
+        if procs > 1:
+            env["LOOKONCE_PROCESS_ID"] = str(pid)
+        ps.append(subprocess.Popen(
+            [sys.executable, "-c", _FIT_WORKER], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in ps:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in ps:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(ps, outs)):
+        assert p.returncode == 0, f"p{pid} failed:\n{out}"
+        assert f"FIT OK p{pid}" in out, out
+
+
+def _read_metrics(run_dir):
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        return [json.loads(x) for x in f]
+
+
+@pytest.mark.e2e
+def test_two_process_trainer_fit_matches_single(tmp_path):
+    """VERDICT r3 #6: the REAL `Trainer.fit` — sharded loaders, padded
+    eval with unequal per-host batch counts, rank-0 orbax
+    checkpointing — on a 2-process CPU cluster produces the same eval
+    metrics as the identical single-process run, and a fresh
+    2-process cluster resumes from the shared checkpoint."""
+    single_dir = tmp_path / "single"
+    multi_dir = tmp_path / "multi"
+    _run_fit_cluster(single_dir, epochs=2, procs=1)
+    _run_fit_cluster(multi_dir, epochs=2, procs=2)
+
+    rec_s = _read_metrics(single_dir)
+    rec_m = _read_metrics(multi_dir)
+    assert [r["epoch"] for r in rec_s] == [0, 1]
+    assert [r["epoch"] for r in rec_m] == [0, 1]
+    # Global batches contain the same sample SETS (strided shards of
+    # one shared permutation), so metrics agree up to reduction order.
+    for rs, rm in zip(rec_s, rec_m):
+        for k in ("val/loss", "val/si_snr_i", "train/loss"):
+            assert np.isfinite(rm[k])
+            np.testing.assert_allclose(
+                rm[k], rs[k], rtol=2e-3, atol=2e-3,
+                err_msg=f"{k} diverged at epoch {rs['epoch']}")
+
+    # orbax save (rank 0) is visible to a whole NEW cluster: resume
+    # continues at epoch 2 on both ranks
+    assert os.path.isdir(os.path.join(multi_dir, "last.ckpt"))
+    _run_fit_cluster(multi_dir, epochs=3, procs=2, resume=True)
+    rec_m2 = _read_metrics(multi_dir)
+    assert [r["epoch"] for r in rec_m2] == [0, 1, 2]
 
 
 @pytest.mark.e2e

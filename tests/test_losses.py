@@ -144,12 +144,20 @@ class TestCDPAM:
     (VERDICT r2 missing #2)."""
 
     def test_constructs_offline_via_registry(self):
-        fn = LossFn("cdpam")
+        fn = LossFn("cdpam", allow_random=True)
         assert fn.name == "cdpam"
         assert fn._fn.pretrained is False
 
+    def test_random_weights_require_explicit_opt_in(self):
+        """ADVICE r3: as a TRAINING loss, an untrained random-net
+        distance must not construct silently — no weights and no
+        allow_random=True is an error at the registry."""
+        import pytest
+        with pytest.raises(ValueError, match="allow_random"):
+            LossFn("cdpam")
+
     def test_zero_at_identity_symmetric_deterministic(self):
-        fn = LossFn("cdpam")
+        fn = LossFn("cdpam", allow_random=True)
         x = _rand(2, 2, 2048, seed=30)
         y = _rand(2, 2, 2048, seed=31)
         same = float(fn(jnp.asarray(x), jnp.asarray(x)))
@@ -159,13 +167,13 @@ class TestCDPAM:
         assert np.isfinite(d_xy) and d_xy > 0
         assert abs(d_xy - d_yx) < 1e-6
         # deterministic across constructions (fixed seed)
-        fn2 = LossFn("cdpam")
+        fn2 = LossFn("cdpam", allow_random=True)
         assert abs(float(fn2(jnp.asarray(x), jnp.asarray(y))) - d_xy) \
             < 1e-6
 
     def test_differentiable(self):
         import jax
-        fn = LossFn("cdpam")
+        fn = LossFn("cdpam", allow_random=True)
         x = jnp.asarray(_rand(1, 1, 1024, seed=32))
         g = jnp.asarray(_rand(1, 1, 1024, seed=33))
         grads = jax.grad(lambda e: fn(e, g))(x)
@@ -186,7 +194,12 @@ class TestCDPAM:
 
     def test_torch_state_mapping_by_shape(self, tmp_path):
         """A torch state_dict whose conv/linear shapes match loads by
-        order+shape (the path a downloaded cdpam ckpt takes)."""
+        order+shape (the path a downloaded cdpam ckpt takes). Guards
+        the ADVICE r3 fixes: (a) same-shape layers each consume a
+        DISTINCT torch tensor (candidate lists consumed, not rebuilt
+        per layer); (b) BatchNorm gamma/beta/mean/var map by module
+        prefix; (c) conv biases come from the conv's own sibling
+        `.bias`, never a same-width BN bias."""
         from lookoncetohear_tpu.losses.cdpam import CDPAM, _flatten
         m = CDPAM(seed=0)
         flat = _flatten(m.params)
@@ -196,6 +209,12 @@ class TestCDPAM:
             sd[f"base_encoder.conv{i}.weight"] = torch.randn(
                 kshape[2], kshape[1], kshape[0])
             sd[f"base_encoder.conv{i}.bias"] = torch.randn(kshape[2])
+            sd[f"base_encoder.bn{i}.weight"] = torch.randn(kshape[2])
+            sd[f"base_encoder.bn{i}.bias"] = torch.randn(kshape[2])
+            sd[f"base_encoder.bn{i}.running_mean"] = torch.randn(
+                kshape[2])
+            sd[f"base_encoder.bn{i}.running_var"] = torch.rand(
+                kshape[2]) + 0.5
         for name in ("acoustic_fc0", "acoustic_fc1", "content_fc0",
                      "content_fc1"):
             w = flat[f"{name}/kernel"]
@@ -205,11 +224,49 @@ class TestCDPAM:
         torch.save({"state": sd}, p)
         before = np.asarray(_flatten(m.params)["conv_0/kernel"]).copy()
         m.load_torch_state(p)
-        after = np.asarray(_flatten(m.params)["conv_0/kernel"])
-        assert not np.allclose(before, after)
-        np.testing.assert_allclose(
-            after, np.transpose(
-                sd["base_encoder.conv0.weight"].numpy(), (2, 1, 0)))
+        pf = _flatten(m.params)
+        bf = _flatten(m.batch_stats)
+        assert not np.allclose(before, pf["conv_0/kernel"])
+        for i in range(m.encoder.n_layers):
+            # (a) every same-shape conv got its OWN torch tensor
+            np.testing.assert_allclose(
+                np.asarray(pf[f"conv_{i}/kernel"]), np.transpose(
+                    sd[f"base_encoder.conv{i}.weight"].numpy(),
+                    (2, 1, 0)))
+            # (c) the conv's sibling bias, not a BN bias of the width
+            np.testing.assert_allclose(
+                np.asarray(pf[f"conv_{i}/bias"]),
+                sd[f"base_encoder.conv{i}.bias"].numpy())
+            # (b) BN gamma/beta/mean/var all landed
+            np.testing.assert_allclose(
+                np.asarray(pf[f"bn_{i}/scale"]),
+                sd[f"base_encoder.bn{i}.weight"].numpy())
+            np.testing.assert_allclose(
+                np.asarray(bf[f"bn_{i}/mean"]),
+                sd[f"base_encoder.bn{i}.running_mean"].numpy())
+            np.testing.assert_allclose(
+                np.asarray(bf[f"bn_{i}/var"]),
+                sd[f"base_encoder.bn{i}.running_var"].numpy())
+
+    def test_torch_state_mapping_missing_layer_raises(self, tmp_path):
+        """An incomplete checkpoint (a head linear absent) fails loudly
+        with the loaded-vs-expected accounting, never silently."""
+        import pytest
+        from lookoncetohear_tpu.losses.cdpam import CDPAM, _flatten
+        m = CDPAM(seed=0)
+        flat = _flatten(m.params)
+        sd = {}
+        for i in range(m.encoder.n_layers):
+            kshape = flat[f"conv_{i}/kernel"].shape
+            sd[f"enc.conv{i}.weight"] = torch.randn(
+                kshape[2], kshape[1], kshape[0])
+        w = flat["acoustic_fc0/kernel"]
+        sd["proj.acoustic_fc0.weight"] = torch.randn(
+            w.shape[1], w.shape[0])  # fc1/content heads missing
+        p = str(tmp_path / "torch_partial.pth")
+        torch.save(sd, p)
+        with pytest.raises(ValueError, match="did not cover"):
+            m.load_torch_state(p)
 
     def test_resample_fft(self):
         from lookoncetohear_tpu.losses.cdpam import resample_fft

@@ -58,6 +58,25 @@ def torch_embed():
     return TorchEmbed(**EMBED).eval()
 
 
+@pytest.mark.slow
+def test_tse_parity_smoke(torch_tse):
+    """SLOW-TIER parity smoke (ADVICE r3: the routine test budget must
+    keep exercising the converter contract): converted reference
+    state_dict == Flax output on a short 4-chunk utterance. The
+    multi-minute full/streamed variants stay in the e2e tier."""
+    rng = np.random.default_rng(7)
+    n = 128 * 4
+    x = rng.standard_normal((1, 2, n)).astype(np.float32)
+    emb = rng.standard_normal((1, 1, 256)).astype(np.float32)
+    with torch.no_grad():
+        y_t = torch_tse(torch.from_numpy(x), torch.from_numpy(emb)).numpy()
+    sd = {k: v.numpy() for k, v in torch_tse.state_dict().items()}
+    params = convert_tse_state_dict(sd, n_layers=TSH["B"], use_attn=True)
+    y_j = np.asarray(Net(**TSH).apply({"params": params}, jnp.asarray(x),
+                                      jnp.asarray(emb)))
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.e2e
 def test_tse_full_model_parity(torch_tse):
     """Reference streaming separator state_dict -> convert.py -> Flax:
@@ -119,7 +138,7 @@ def test_tse_streamed_parity(torch_tse):
     np.testing.assert_allclose(streamed, y_t, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.e2e
+@pytest.mark.slow
 def test_embed_full_model_parity(torch_embed):
     """Reference EmbedTFGridNet (espnet trunk) state_dict ->
     convert.py -> Flax EmbedNet: identical d-vectors."""
