@@ -77,6 +77,30 @@ def bench(task_name: str, n1: int = 4, n2: int = 16, batch: int = 8,
     ups = batch / per
     print(f"{task_name:6s} batch {batch} x {dur_s:.0f}s: "
           f"{per*1e3:8.1f} ms/step  {ups:6.2f} utterances/s")
+
+    # Effective HBM bandwidth + MFU from XLA's own cost model
+    # (VERDICT r3 #8: the honest "MFU" for this bandwidth-bound model
+    # is bytes/s against the chip's ~820 GB/s measured-roofline HBM,
+    # not FLOP utilization — both are reported). cost_analysis can be
+    # unavailable behind proxied transports; best-effort.
+    try:
+        step1 = jax.jit(lambda p, o: jax.lax.scan(
+            one_step, (p, o), None, length=1)[1])
+        ca = step1.lower(params, opt_state).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        # v5e peaks: 197 TFLOP/s bf16 MXU, ~816 GB/s HBM (nominal);
+        # PERF.md's measured streaming roofline is the real ceiling
+        mfu = flops / per / 197e12 * 100
+        bw = byts / per / 1e9
+        print(f"{'':6s} XLA cost model: {flops/1e9:.1f} GFLOP/step, "
+              f"{byts/1e6:.0f} MB/step -> {bw:.0f} GB/s effective "
+              f"({bw/816*100:.0f}% of nominal HBM), "
+              f"MFU {mfu:.1f}% of bf16 peak")
+    except Exception as e:  # noqa: BLE001
+        print(f"{'':6s} cost_analysis unavailable: {e}")
     return per
 
 

@@ -71,11 +71,12 @@ echo "quality study rc=$?"
 timeout 3600 python perf/epoch_time_bench.py | tee runs/epoch_time_r4.log
 echo "epoch-time bench rc=$?"
 
-# train-step device metrics (+ remat ablation)
-timeout 1800 python perf/train_step_bench.py | tee runs/train_step_r4.log
-timeout 1800 python perf/train_step_bench.py --no_chunked \
-  | tee runs/train_step_flat_r4.log
-timeout 1800 python perf/train_step_bench.py --embed \
+# train-step device metrics (+ remat ablation via LOOKONCE_FLAT_SCAN)
+timeout 1800 python perf/train_step_bench.py --task tse \
+  | tee runs/train_step_r4.log
+timeout 1800 env LOOKONCE_FLAT_SCAN=1 python perf/train_step_bench.py \
+  --task tse | tee runs/train_step_flat_r4.log
+timeout 1800 python perf/train_step_bench.py --task embed \
   | tee runs/train_step_embed_r4.log
 echo "train-step bench rc=$?"
 
