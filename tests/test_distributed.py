@@ -102,7 +102,11 @@ print(f"FIT OK p{jax.process_index()}")
 
 
 def _run_fit_cluster(run_dir, epochs, *, procs, resume=False,
-                     timeout=600):
+                     timeout=1800):
+    # 1800 s: on the 1-CPU build host two concurrent workers compile
+    # the train+eval steps serially (~2-4 min each, cold cache) before
+    # the 2-epoch fit even starts; warm .jax_cache_tests runs are
+    # minutes faster.
     """Launch the _FIT_WORKER on a `procs`-process CPU cluster (or
     single-process when procs == 1) and assert every rank succeeds."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

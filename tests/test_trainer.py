@@ -256,6 +256,11 @@ class TestDirLoss:
         loss, metrics = task.loss_and_metrics(params, batch, 0)
         assert np.isfinite(float(loss))
         assert "dir_loss" in metrics and "dir_error" in metrics
+        # dir_error is DEGREES via the arcsin bin->azimuth map: bound
+        # by the full +/-90deg span; dir_error_bins is raw bin count
+        assert "dir_error_bins" in metrics
+        assert 0.0 <= float(metrics["dir_error"]) <= 180.0
+        assert 0.0 <= float(metrics["dir_error_bins"]) <= 8.0
         g = jax.grad(lambda p: task.loss_and_metrics(p, batch, 0)[0])(
             params)
         assert all(np.isfinite(np.asarray(x)).all()
