@@ -60,6 +60,22 @@ _CHILD_ENV = "_LOOKONCE_BENCH_CHILD"
 _ATTEMPT_TIMEOUT_S = int(os.environ.get("LOOKONCE_BENCH_ATTEMPT_S", 900))
 _BUDGET_S = int(os.environ.get("LOOKONCE_BENCH_BUDGET_S", 2400))
 _BACKOFFS = (60, 180, 300, 600, 600)
+# While a training run holds the (single, proxied) chip, concurrent
+# measurements queue for minutes per compile and the numbers are
+# garbage (PERF.md "Measurement methodology"). The training chain
+# advertises chip ownership via this lockfile; the supervisor waits
+# for it to clear (within budget) before measuring. A lock older than
+# 4.5 h is treated as stale — the longest single training timeout in
+# scripts/chain_r4.sh is 4 h and the chain removes it on exit.
+_LOCK = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "runs", ".chip_busy")
+
+
+def _lock_active() -> bool:
+    try:
+        return time.time() - os.path.getmtime(_LOCK) < 4.5 * 3600
+    except OSError:
+        return False
 
 
 def supervise() -> int:
@@ -74,6 +90,16 @@ def supervise() -> int:
     while True:
         remaining = _BUDGET_S - (time.monotonic() - t0)
         if attempt > 0 and remaining <= 0:
+            break
+        if _lock_active():
+            print("# bench waiting: chip held by a training run "
+                  "(runs/.chip_busy)", file=sys.stderr, flush=True)
+        while (_lock_active()
+               and _BUDGET_S - (time.monotonic() - t0) > 120):
+            time.sleep(30)
+        if _lock_active():
+            last_err = ("chip held by a training run for the whole "
+                        "budget (runs/.chip_busy)")
             break
         attempt += 1
         try:

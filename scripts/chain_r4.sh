@@ -19,6 +19,21 @@ cd /root/repo
 
 PRER=/root/repo/data/prerendered_r4   # gitignored (data/prerendered*/)
 
+# Chip-ownership lock: while present (and fresh), bench.py's
+# supervisor waits instead of measuring a contended chip. Held around
+# every chip-heavy step below; removed around our own bench calls and
+# on any exit.
+LOCK=/root/repo/runs/.chip_busy
+trap 'rm -f "$LOCK"' EXIT
+
+locked () {  # run one chip-heavy command while holding the lock
+  touch "$LOCK"
+  "$@"
+  local rc=$?
+  rm -f "$LOCK"
+  return $rc
+}
+
 retry_train () {  # config run_dir prerender_subdir timeout_s
   # NOTE the wedge trade-off: `timeout` SIGTERMs a live TPU client
   # (which itself wedges the proxied chip), so per-run timeouts are
@@ -26,9 +41,11 @@ retry_train () {  # config run_dir prerender_subdir timeout_s
   # retry idle is 30 min — the chip needs ~45-60 min of ZERO traffic
   # to self-recover, and orbax resumes from the last epoch anyway.
   for i in 1 2 3; do
+    touch "$LOCK"
     timeout "${4:-10800}" python -m lookoncetohear_tpu.trainer \
       --config "$1" --run_dir "$2" --prerender "$PRER/$3" --resume \
-      && return 0
+      && { rm -f "$LOCK"; return 0; }
+    rm -f "$LOCK"
     echo "train $2 attempt $i failed rc=$?; idling 1800s for chip recovery"
     sleep 1800
   done
@@ -49,12 +66,12 @@ echo "embed (reference recipe) done rc=$?"
 
 # oracle-embedding eval (upper bound), then two-stage with the
 # reference-recipe enrollment net; binaural cue columns on
-timeout 3600 python -m lookoncetohear_tpu.ts_hear_test \
+locked timeout 3600 python -m lookoncetohear_tpu.ts_hear_test \
   --config configs/tsh_synthetic.json --run_dir runs/tsh_r4 \
   --enroll_config '' --enroll_run_dir ''
 echo "oracle eval rc=$?"   # CSV name: results_test_clean.csv
 
-timeout 3600 python -m lookoncetohear_tpu.ts_hear_test \
+locked timeout 3600 python -m lookoncetohear_tpu.ts_hear_test \
   --config configs/tsh_synthetic.json --run_dir runs/tsh_r4 \
   --enroll_config configs/embed_synthetic.json \
   --enroll_run_dir runs/embed_r4_ref --binaural
@@ -62,26 +79,26 @@ echo "two-stage (ref recipe) eval rc=$?"
 
 # serving-precision quality table on the NEW checkpoint (>=64 scenes
 # through the real StreamingEngine) — refreshes PERF.md round-4 table
-timeout 3600 python perf/kv_quality_study.py \
+locked timeout 3600 python perf/kv_quality_study.py \
   --config configs/tsh_synthetic.json --run_dir runs/tsh_r4 --n 64 \
   | tee runs/kv_quality_r4.log
 echo "quality study rc=$?"
 
 # input-pipeline table: on-the-fly vs prerendered epoch wall time
-timeout 3600 python perf/epoch_time_bench.py | tee runs/epoch_time_r4.log
+locked timeout 3600 python perf/epoch_time_bench.py | tee runs/epoch_time_r4.log
 echo "epoch-time bench rc=$?"
 
 # train-step device metrics (+ remat ablation via LOOKONCE_FLAT_SCAN)
-timeout 1800 python perf/train_step_bench.py --task tse \
+locked timeout 1800 python perf/train_step_bench.py --task tse \
   | tee runs/train_step_r4.log
-timeout 1800 env LOOKONCE_FLAT_SCAN=1 python perf/train_step_bench.py \
+locked timeout 1800 env LOOKONCE_FLAT_SCAN=1 python perf/train_step_bench.py \
   --task tse | tee runs/train_step_flat_r4.log
-timeout 1800 python perf/train_step_bench.py --task embed \
+locked timeout 1800 python perf/train_step_bench.py --task embed \
   | tee runs/train_step_embed_r4.log
 echo "train-step bench rc=$?"
 
 # engine device benchmark at the serving shape
-timeout 1800 python perf/engine_bench.py | tee runs/engine_r4.log
+locked timeout 1800 python perf/engine_bench.py | tee runs/engine_r4.log
 echo "engine bench rc=$?"
 
 python bench.py | tee runs/bench_r4_mid.json
@@ -91,7 +108,7 @@ python bench.py | tee runs/bench_r4_mid.json
 retry_train configs/embed_synthetic_neg20.json runs/embed_r4_neg20 shared 14400
 echo "embed (neg20 recipe) done rc=$?"
 
-timeout 3600 python -m lookoncetohear_tpu.ts_hear_test \
+locked timeout 3600 python -m lookoncetohear_tpu.ts_hear_test \
   --config configs/tsh_synthetic.json --run_dir runs/tsh_r4 \
   --enroll_config configs/embed_synthetic_neg20.json \
   --enroll_run_dir runs/embed_r4_neg20 --binaural
