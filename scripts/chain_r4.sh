@@ -104,7 +104,16 @@ echo "engine bench rc=$?"
 python bench.py | tee runs/bench_r4_mid.json
 
 # nice-to-have last: the improved negatives-from-epoch-20 recipe and
-# its comparison eval row
+# its comparison eval row. Skipped when the round clock is short —
+# the driver's own bench.py fires at round end (~11:22 UTC) and must
+# find an IDLE chip, and this retrain holds it ~2.5 h.
+DEADLINE_EPOCH=${LOOKONCE_TAIL_DEADLINE:-$(date -d '2026-08-18 08:30 UTC' +%s)}
+if [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; then
+  echo "past tail deadline; skipping neg20 retrain + eval"
+  python bench.py | tee runs/bench_r4_final.json
+  echo "CHAIN DONE (no tail)"
+  exit 0
+fi
 retry_train configs/embed_synthetic_neg20.json runs/embed_r4_neg20 shared 14400
 echo "embed (neg20 recipe) done rc=$?"
 
