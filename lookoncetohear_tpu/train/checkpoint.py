@@ -17,10 +17,24 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _primary() -> bool:
+    return jax.process_index() == 0
+
+
 def save(path: str, tree) -> None:
+    """Save a (replicated) pytree. In a multi-process cluster EVERY
+    rank must call this with identical data: orbax's Checkpointer.save
+    contains its own global barrier ('Checkpointer:save_start'), and
+    only the primary host writes replicated numpy arrays — a
+    rank-0-gated call deadlocks the cluster on mismatched barriers."""
     path = os.path.abspath(path)
-    if os.path.exists(path):
+    if _primary() and os.path.exists(path):
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        # peers must not enter orbax's save while the primary is still
+        # clearing the old directory
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"ckpt_rm:{path}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, _to_numpy(tree))
 
@@ -56,6 +70,11 @@ class CheckpointManager:
         return os.path.join(self.run_dir, "last.ckpt")
 
     def _write_meta(self) -> None:
+        # ranks share run_dir; the in-memory meta evolves identically
+        # on every rank (replicated metrics), so rank 0 alone touches
+        # the file
+        if not _primary():
+            return
         with open(self.meta_path, "w") as f:
             json.dump(self.meta, f, indent=1)
 
@@ -77,13 +96,15 @@ class CheckpointManager:
             self.meta["best"] = keep
             self._write_meta()
             return
-        save(os.path.join(self.best_dir, name), tree)
+        save(os.path.join(self.best_dir, name), tree)  # all ranks
+        self.meta["best"] = keep
+        self._write_meta()
+        if not _primary():
+            return
         for e in entries[self.top_k:]:
             p = os.path.join(self.best_dir, e["name"])
             if os.path.exists(p):
                 shutil.rmtree(p)
-        self.meta["best"] = keep
-        self._write_meta()
         # convenience symlink-equivalent: best.ckpt mirrors the top entry
         top = keep[0]["name"]
         best_link = os.path.join(self.run_dir, "best.ckpt")

@@ -362,15 +362,16 @@ class Trainer:
                                if self.scheduler else {})}
             # params/opt_state are replicated and `record` is computed
             # from replicated metrics, so every rank holds identical
-            # state: rank 0 alone writes (ranks share run_dir — two
-            # writers would race on the same ckpt files), then a
-            # barrier keeps peers from resuming/reading a half-written
-            # checkpoint
-            if jax.process_index() == 0:
-                self.ckpts.save_last(state, epoch, step)
-                mon = record.get(self.task.monitor)
-                if mon is not None:
-                    self.ckpts.save_best(state, mon, epoch, step)
+            # state and EVERY rank must enter the orbax save (its
+            # internal 'Checkpointer:save_start' barrier is global —
+            # a rank-0-gated call deadlocks the cluster); orbax writes
+            # the replicated arrays from the primary host only, and
+            # CheckpointManager gates its meta/symlink file mutations
+            # to rank 0 itself.
+            self.ckpts.save_last(state, epoch, step)
+            mon = record.get(self.task.monitor)
+            if mon is not None:
+                self.ckpts.save_best(state, mon, epoch, step)
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils as mhu
                 mhu.sync_global_devices(f"ckpt_epoch_{epoch}")

@@ -261,3 +261,37 @@ class TestInt8KV:
         y8 = run(jnp.int8)
         err = np.abs(y8 - y32).max() / (np.abs(y32).max() + 1e-9)
         assert err < 0.08, err
+
+
+@pytest.mark.slow
+class TestFusedQKV:
+    def test_fused_qkv_matches_unfused_exactly(self, monkeypatch):
+        """The fused single-matmul Q/K/V projection of the int8 serving
+        step (streaming_tfgridnet._fused_qkv_enabled) matches the
+        three-dot path up to XLA dot reduction-order noise (measured
+        ~1e-6 over 6 steps; each output column is the same
+        mathematical reduction)."""
+        model = Net(**TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 640)),
+            jnp.zeros((1, 1, TINY["embed_dim"])))["params"]
+        emb = np.random.default_rng(3).standard_normal(
+            (1, TINY["embed_dim"])).astype(np.float32)
+        nfft = TINY["stft_chunk_size"] + TINY["stft_pad_size"]
+
+        def run(flag):
+            monkeypatch.setenv("LOOKONCE_FUSED_QKV", flag)
+            state = model.init_state(1, kv_dtype=jnp.int8)
+            outs = []
+            r = np.random.default_rng(4)
+            for _ in range(6):
+                x = r.standard_normal((1, 2, nfft)).astype(np.float32)
+                y, state = model.apply({"params": params},
+                                       jnp.asarray(x), jnp.asarray(emb),
+                                       state, method=model.step)
+                outs.append(np.asarray(y))
+            return np.concatenate(outs, -1)
+
+        y_fused = run("1")
+        y_ref = run("0")
+        np.testing.assert_allclose(y_fused, y_ref, rtol=0, atol=1e-4)
