@@ -47,7 +47,10 @@ class Task:
     def init_params(self, rng: jax.Array, batch) -> Any:
         raise NotImplementedError
 
-    def device_batch(self, batch):
+    def device_batch(self, batch, train: bool = False):
+        """Host-side batch assembly. `train=True` on training batches
+        only — tasks may apply host-side augmentations there that must
+        never touch val/test batches."""
         raise NotImplementedError
 
     def loss_and_metrics(self, params, batch, epoch) -> tuple:
@@ -62,7 +65,8 @@ class TSETask(Task):
                  embed_model: str | None = None,
                  embed_model_params: dict | None = None,
                  scheduler: str | None = None,
-                 scheduler_params: dict | None = None) -> None:
+                 scheduler_params: dict | None = None,
+                 embed_aug_std: float = 0.0) -> None:
         self.model = utils.import_attr(model)(**model_params)
         self.embed_model = None
         if embed_model is not None:
@@ -71,18 +75,38 @@ class TSETask(Task):
         self.lr = lr
         self.dir_loss = dir_loss
         self.init_ckpt = init_ckpt
+        # Conditioning-embedding augmentation (training only): the
+        # deployed two-stage pipeline conditions the separator on the
+        # enrollment net's PREDICTED embedding (cosine ~0.95 vs gt at
+        # our scale), but the reference trains purely on gt d-vectors
+        # (src/ts_hear_embed_pl_module.py:56-60) — so the separator
+        # never sees the direction error it gets at eval. Gaussian
+        # direction noise with the norm restored (only the angle is
+        # perturbed, matching how a predicted d-vector errs) closes
+        # that train/serve mismatch. E[cos(e, e')] ~ 1/sqrt(1+std^2):
+        # std 0.33 simulates cosine ~0.95.
+        self.embed_aug_std = float(embed_aug_std)
+        self._aug_rng = np.random.default_rng(0xE3B)
         self.scheduler = scheduler
         self.scheduler_params = scheduler_params or {}
         self.monitor = "val/si_snr_i"
         self.monitor_mode = "max"
 
-    def device_batch(self, batch):
+    def device_batch(self, batch, train: bool = False):
         inputs, targets = batch
         out = {
             "mixture": inputs["mixture"],
             "target": targets["target"],
             "embedding_gt": targets["embedding_gt"],
         }
+        if train and self.embed_aug_std > 0.0:
+            e = np.asarray(out["embedding_gt"], np.float32)
+            n = self._aug_rng.standard_normal(e.shape).astype(np.float32)
+            norm = np.linalg.norm(e, axis=-1, keepdims=True)
+            rms = norm / np.sqrt(e.shape[-1])
+            e2 = e + self.embed_aug_std * rms * n
+            n2 = np.linalg.norm(e2, axis=-1, keepdims=True)
+            out["embedding_gt"] = e2 * (norm / np.maximum(n2, 1e-12))
         if self.dir_loss:
             out["tgt_shift"] = inputs["tgt_shift"]
         if isinstance(inputs, dict) and "enrollments_id" in inputs:
@@ -180,7 +204,7 @@ class EmbedTask(Task):
         self.monitor = "val/loss"
         self.monitor_mode = "min"
 
-    def device_batch(self, batch):
+    def device_batch(self, batch, train: bool = False):
         inputs, targets = batch
         neg = targets.get("embedding_neg", [])
         if isinstance(neg, (list, tuple)):
@@ -256,7 +280,7 @@ class SeparationTask(Task):
         self.monitor = "val/loss"
         self.monitor_mode = "min"
 
-    def device_batch(self, batch):
+    def device_batch(self, batch, train: bool = False):
         inputs, targets = batch
         return {
             "mixture": inputs["mixture"],

@@ -213,7 +213,10 @@ class Trainer:
             for i, batch in enumerate(dl):
                 if i >= n_iters:
                     break
-                db = self.task.device_batch(batch)
+                # pad_to is only ever set on eval splits, so its
+                # absence marks a training batch — the task may apply
+                # train-only host augmentations there
+                db = self.task.device_batch(batch, train=pad_to is None)
                 if pad_to is not None:
                     db, b = pad(db)
                     last_db = db

@@ -106,6 +106,59 @@ class TestTSETraining:
         assert "test/si_snr_i" in rec and np.isfinite(rec["test/loss"])
 
 
+class TestEmbedAugmentation:
+    """Conditioning-embedding augmentation (TSETask embed_aug_std):
+    training batches get norm-preserving direction noise on
+    embedding_gt; val/test batches (train=False) are untouched."""
+
+    def _batch(self, n=8, e=64):
+        ds = SyntheticTSEDataset(dset="train", n_samples=n, duration=0.5,
+                                 embed_dim=e, n_speakers=4)
+        dl = DataLoader(ds, batch_size=n)
+        return next(iter(dl))
+
+    def test_train_perturbs_direction_only(self):
+        task = TSETask(**TINY_TSE, embed_aug_std=0.33)
+        batch = self._batch()
+        clean = np.asarray(task.device_batch(batch)["embedding_gt"],
+                           np.float32)
+        aug = np.asarray(task.device_batch(batch, train=True)
+                         ["embedding_gt"], np.float32)
+        # perturbed, but each embedding's norm is preserved
+        assert not np.allclose(aug, clean)
+        np.testing.assert_allclose(np.linalg.norm(aug, axis=-1),
+                                   np.linalg.norm(clean, axis=-1),
+                                   rtol=1e-4)
+        cos = (np.sum(aug * clean, axis=-1)
+               / np.maximum(np.linalg.norm(aug, axis=-1)
+                            * np.linalg.norm(clean, axis=-1), 1e-12))
+        # std 0.33 targets E[cos] ~ 1/sqrt(1+0.33^2) ~ 0.95
+        assert 0.85 < float(cos.mean()) < 0.99
+        # two train batches draw different noise
+        aug2 = np.asarray(task.device_batch(batch, train=True)
+                          ["embedding_gt"], np.float32)
+        assert not np.allclose(aug2, aug)
+
+    def test_eval_and_default_are_clean(self):
+        task = TSETask(**TINY_TSE, embed_aug_std=0.33)
+        batch = self._batch()
+        _, targets = batch
+        gt = np.asarray(targets["embedding_gt"], np.float32)
+        for db in (task.device_batch(batch),
+                   task.device_batch(batch, train=False)):
+            np.testing.assert_array_equal(
+                np.asarray(db["embedding_gt"], np.float32), gt)
+
+    def test_std_zero_is_identity_in_training(self):
+        task = TSETask(**TINY_TSE)
+        batch = self._batch()
+        _, targets = batch
+        np.testing.assert_array_equal(
+            np.asarray(task.device_batch(batch, train=True)
+                       ["embedding_gt"], np.float32),
+            np.asarray(targets["embedding_gt"], np.float32))
+
+
 @pytest.mark.e2e
 class TestEmbedTraining:
     def test_fit_reduces_loss(self, tmp_path):
@@ -151,7 +204,7 @@ class _StubTask:
     lr = 1e-3
     scheduler = None
 
-    def device_batch(self, batch):
+    def device_batch(self, batch, train: bool = False):
         inputs, _ = batch
         return {"x": np.asarray(inputs["x"], np.float32)}
 
