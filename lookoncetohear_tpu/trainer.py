@@ -22,6 +22,9 @@ def parse_args():
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--frac", type=float, default=1.0,
                    help="fraction of batches per epoch (smoke runs)")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override the config's epoch count (time-boxed "
+                        "runs); the config file is not modified")
     p.add_argument("--prerender", type=str, default=None,
                    help="directory for a render-ahead on-disk cache: "
                         "each split is materialized once (process "
@@ -56,4 +59,6 @@ if __name__ == "__main__":
             f"{args.run_dir} already has a checkpoint; pass --resume to "
             "continue training or choose a new run_dir")
     hparams = utils.Params(args.config)
+    if getattr(args, "epochs", None):
+        hparams.epochs = args.epochs
     main(args, hparams)
