@@ -310,7 +310,34 @@ class Trainer:
 
         if ckpt_path is None and resume and self.ckpts.has_last():
             ckpt_path = self.ckpts.last_path
-        if ckpt_path:
+        if ckpt_path and ckpt_path.endswith(".npz"):
+            # committed portable export (train/npz_ckpt.py): full
+            # state resumes exactly; params-only warm-starts at
+            # epoch 0 with a fresh optimizer
+            from lookoncetohear_tpu.train import npz_ckpt
+            repl = replicated_sharding(self.mesh)
+            if npz_ckpt.has_full_state(ckpt_path):
+                like = {"params": params, "opt_state": opt_state,
+                        "epoch": 0, "step": 0,
+                        "sched": (self.scheduler.state_dict()
+                                  if self.scheduler else {})}
+                ck = npz_ckpt.load_full_state(ckpt_path, like)
+                params = jax.device_put(ck["params"], repl)
+                opt_state = jax.device_put(ck["opt_state"], repl)
+                start_epoch = int(ck["epoch"]) + 1
+                step = int(ck["step"])
+                if self.scheduler and ck.get("sched"):
+                    self.scheduler.load_state_dict(
+                        jax.tree_util.tree_map(
+                            lambda x: x.item()
+                            if hasattr(x, "item") else x, ck["sched"]))
+                logging.info("resumed from %s at epoch %d", ckpt_path,
+                             start_epoch)
+            else:
+                params = jax.device_put(
+                    npz_ckpt.load_params(ckpt_path), repl)
+                logging.info("warm-started params from %s", ckpt_path)
+        elif ckpt_path:
             like = {"params": params, "opt_state": opt_state,
                     "epoch": 0, "step": 0,
                     "sched": (self.scheduler.state_dict()
@@ -391,7 +418,11 @@ class Trainer:
         if ckpt_path is None:
             ckpt_path = self.ckpts.best_checkpoint() or (
                 self.ckpts.last_path if self.ckpts.has_last() else None)
-        if ckpt_path:
+        if ckpt_path and ckpt_path.endswith(".npz"):
+            from lookoncetohear_tpu.train.npz_ckpt import load_params
+            params = load_params(ckpt_path)
+            logging.info("testing with %s", ckpt_path)
+        elif ckpt_path:
             # no template: flax params are plain nested dicts, so an
             # untyped restore round-trips exactly; other keys ignored.
             params = restore(ckpt_path)["params"]

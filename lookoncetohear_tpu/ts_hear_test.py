@@ -31,15 +31,22 @@ from lookoncetohear_tpu.losses.embedding import cosine_similarity
 from lookoncetohear_tpu.train.checkpoint import restore
 
 
-def load_task(config, run_dir: str):
+def load_task(config, run_dir: str, ckpt: str | None = None):
     """Build the task and load run_dir/best.ckpt params (reference
     load_model, ts_hear_test.py:18-34). A best.ckpt that is a FILE is
     treated as a reference PyTorch/Lightning checkpoint and converted
-    (lookoncetohear_tpu/convert.py)."""
+    (lookoncetohear_tpu/convert.py); `ckpt` overrides the run_dir
+    lookup and additionally accepts the committed portable .npz
+    exports (train/npz_ckpt.py) so result tables reproduce from git
+    history alone."""
     task = utils.import_attr(config.pl_module)(**config.pl_module_args)
-    ckpt = os.path.join(run_dir, "best.ckpt")
+    ckpt = ckpt or os.path.join(run_dir, "best.ckpt")
     params = None
-    if os.path.isdir(ckpt):
+    if os.path.isfile(ckpt) and ckpt.endswith(".npz"):
+        print(f"Loading (npz) {ckpt}")
+        from lookoncetohear_tpu.train.npz_ckpt import load_params
+        params = load_params(ckpt)
+    elif os.path.isdir(ckpt):
         print(f"Loading {ckpt}")
         params = restore(ckpt)["params"]
     elif os.path.isfile(ckpt):
@@ -153,7 +160,8 @@ def run(args) -> pd.DataFrame:
         f"{results_file} already exists"
 
     config = utils.Params(args.config)
-    task, params = load_task(config, args.run_dir)
+    task, params = load_task(config, args.run_dir,
+                             ckpt=getattr(args, "ckpt", None))
     if params is None:
         params = task.init_params(
             jax.random.PRNGKey(0), _first_batch(config, args))
@@ -161,8 +169,9 @@ def run(args) -> pd.DataFrame:
     enroll_task = enroll_params = None
     if args.enroll_config:
         enroll_config = utils.Params(args.enroll_config)
-        enroll_task, enroll_params = load_task(enroll_config,
-                                               args.enroll_run_dir)
+        enroll_task, enroll_params = load_task(
+            enroll_config, args.enroll_run_dir,
+            ckpt=getattr(args, "enroll_ckpt", None))
         if enroll_params is None:
             enroll_params = enroll_task.init_params(
                 jax.random.PRNGKey(0), _first_batch(config, args))
@@ -273,6 +282,12 @@ if __name__ == "__main__":
                         default="configs/embed.json")
     parser.add_argument("--enroll_run_dir", type=str,
                         default="runs/embed")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="explicit separator checkpoint (orbax "
+                             "dir, torch .ckpt, or committed .npz "
+                             "export) overriding run_dir/best.ckpt")
+    parser.add_argument("--enroll_ckpt", type=str, default=None,
+                        help="same, for the enrollment net")
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--embed_from_wav", action="store_true",
                         default=False)
