@@ -37,6 +37,19 @@ from lookoncetohear_tpu.ops.lstm import LSTM
 from lookoncetohear_tpu.ops.norms import LayerNorm, PReLU
 
 
+def _mxu_norms_enabled() -> bool:
+    """Serving micro-optimization: compute the attention section's
+    LayerNorm statistics as MXU dots against constant 0/1 head-segment
+    matrices in the flat [B, D] projection-native layout
+    (ops/norms.py flat_head_layer_norm), instead of VPU reductions
+    over [B, T, F, nh, dim] views whose tiny minor axis lane-pads to
+    128 (~21x wasted vector work for the e_dim=6 Q/K heads — PERF.md
+    round-2 layout probes). Numerically equal up to f32 reassociation
+    (tests/test_serve.py::TestMXUNorms). Kill switch:
+    LOOKONCE_MXU_NORMS=0."""
+    return os.environ.get("LOOKONCE_MXU_NORMS", "1") != "0"
+
+
 def _fused_qkv_enabled() -> bool:
     """Serving micro-optimization: compute the three Q/K/V projections
     of a streaming step as ONE matmul on the concatenated kernels
@@ -113,6 +126,22 @@ class AttnProjection(nn.Module):
         bias = self.norm.variables["params"]["bias"].reshape(f, dim)
         return yn * scale[None, None, :, None, :] \
             + bias[None, None, :, None, :]
+
+    def normalize_flat(self, y_flat, f: int, n_head: int, dim: int):
+        """Per-head LayerNorm directly on the flat (f, head, dim)
+        serving layout [B, f*n_head*dim] — same math as
+        `normalize_native`, statistics via MXU segment dots
+        (ops/norms.py flat_head_layer_norm) so no tiny-minor-axis
+        tensor is materialized."""
+        from lookoncetohear_tpu.ops.norms import (flat_head_layer_norm,
+                                                  head_segment_matrix)
+        sc = self.norm.variables["params"]["scale"].reshape(f, 1, dim)
+        bi = self.norm.variables["params"]["bias"].reshape(f, 1, dim)
+        sc = jnp.broadcast_to(sc, (f, n_head, dim)).reshape(-1)
+        bi = jnp.broadcast_to(bi, (f, n_head, dim)).reshape(-1)
+        seg = head_segment_matrix(f * n_head * dim, n_head, dim)
+        return flat_head_layer_norm(y_flat, seg, float(f * dim), sc,
+                                    bi, self.norm.eps)
 
 
 class GridNetBlockStreaming(nn.Module):
@@ -262,15 +291,30 @@ class GridNetBlockStreaming(nn.Module):
                 # no casts: keep the unfused path's dtype promotion
                 y = z @ kern + bias
                 y = jnp.where(y >= 0, y, alpha * y)
-                yq = y[..., :e * nh].reshape(b, 1, f, nh, e)
-                yk = y[..., e * nh:2 * e * nh].reshape(b, 1, f, nh, e)
-                yv = y[..., 2 * e * nh:].reshape(b, 1, f, nh, vd)
-                qn = self.attn_q.normalize_native(yq).reshape(
-                    b, f * nh * e)
-                kn = self.attn_k.normalize_native(yk).reshape(
-                    b, f * nh * e)
-                vn = self.attn_v.normalize_native(yv).reshape(
-                    b, f * nh * vd)
+                if _mxu_norms_enabled():
+                    # per-head LayerNorms straight on the flat serving
+                    # layout: stats ride the MXU, and the lane-padded
+                    # [B, 1, F, nh, 6] views never exist
+                    qn = self.attn_q.normalize_flat(
+                        y[..., :e * nh].reshape(b, f * nh * e),
+                        f, nh, e)
+                    kn = self.attn_k.normalize_flat(
+                        y[..., e * nh:2 * e * nh].reshape(
+                            b, f * nh * e), f, nh, e)
+                    vn = self.attn_v.normalize_flat(
+                        y[..., 2 * e * nh:].reshape(b, f * nh * vd),
+                        f, nh, vd)
+                else:
+                    yq = y[..., :e * nh].reshape(b, 1, f, nh, e)
+                    yk = y[..., e * nh:2 * e * nh].reshape(
+                        b, 1, f, nh, e)
+                    yv = y[..., 2 * e * nh:].reshape(b, 1, f, nh, vd)
+                    qn = self.attn_q.normalize_native(yq).reshape(
+                        b, f * nh * e)
+                    kn = self.attn_k.normalize_native(yk).reshape(
+                        b, f * nh * e)
+                    vn = self.attn_v.normalize_native(yv).reshape(
+                        b, f * nh * vd)
             else:
                 qn = heads_native(self.attn_q, z, e).reshape(
                     b, f * nh * e)
@@ -287,6 +331,18 @@ class GridNetBlockStreaming(nn.Module):
             # native out columns are already (f, head*vd) == the
             # merged-head channel order
             out = out.reshape(b, 1, f, nh * vd)
+            if _mxu_norms_enabled() and not self.is_initializing():
+                # output projection with its (F*C)-row LayerNorm in
+                # the flat layout (ones-dot statistics on the MXU)
+                from lookoncetohear_tpu.ops.norms import flat_layer_norm
+                c = self.emb_dim
+                p = self.attn_proj.project(out)       # [B, 1, F, C]
+                pn = flat_layer_norm(
+                    p.reshape(b, f * c),
+                    self.attn_proj.norm.variables["params"]["scale"],
+                    self.attn_proj.norm.variables["params"]["bias"],
+                    self.attn_proj.norm.eps)
+                return pn.reshape(b, 1, f, c), new_state
             return self.output_projection(out), new_state
 
         q, k, v = self.project_qkv(z)

@@ -295,3 +295,38 @@ class TestFusedQKV:
         y_fused = run("1")
         y_ref = run("0")
         np.testing.assert_allclose(y_fused, y_ref, rtol=0, atol=1e-4)
+
+
+@pytest.mark.slow
+class TestMXUNorms:
+    def test_flat_mxu_norms_match_native(self, monkeypatch):
+        """The MXU-dot flat LayerNorms of the int8 serving step
+        (streaming_tfgridnet._mxu_norms_enabled: per-head Q/K/V norms
+        + the output-projection norm computed as segment-matrix dots
+        on the flat [B, D] layout) match the normalize_native /
+        LayerNorm path. Statistics are one-pass f32 E[x^2]-mu^2 vs
+        two-pass, so tolerance covers f32 reassociation noise."""
+        model = Net(**TINY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 640)),
+            jnp.zeros((1, 1, TINY["embed_dim"])))["params"]
+        emb = np.random.default_rng(5).standard_normal(
+            (1, TINY["embed_dim"])).astype(np.float32)
+        nfft = TINY["stft_chunk_size"] + TINY["stft_pad_size"]
+
+        def run(flag):
+            monkeypatch.setenv("LOOKONCE_MXU_NORMS", flag)
+            state = model.init_state(1, kv_dtype=jnp.int8)
+            outs = []
+            r = np.random.default_rng(6)
+            for _ in range(6):
+                x = r.standard_normal((1, 2, nfft)).astype(np.float32)
+                y, state = model.apply({"params": params},
+                                       jnp.asarray(x), jnp.asarray(emb),
+                                       state, method=model.step)
+                outs.append(np.asarray(y))
+            return np.concatenate(outs, -1)
+
+        y_flat = run("1")
+        y_ref = run("0")
+        np.testing.assert_allclose(y_flat, y_ref, rtol=0, atol=1e-4)
