@@ -379,7 +379,21 @@ class GridNetBlockStreaming(nn.Module):
         # (inference-only); full utterances keep the lax.scan path for
         # autodiff.
         inp = x.transpose(0, 2, 3, 1)  # [B, T, F, C]
-        y = self.intra_norm(inp)
+        # t == 1 serving: channel-LayerNorm statistics as ones-column
+        # MXU dots on [B*F, C] rows instead of VPU lane reductions
+        # (same trick as the attention-section norms; see
+        # _mxu_norms_enabled)
+        flat_ln = (t == 1 and _mxu_norms_enabled()
+                   and not self.is_initializing())
+        if flat_ln:
+            from lookoncetohear_tpu.ops.norms import flat_layer_norm
+            y = flat_layer_norm(
+                inp.reshape(b * f, c),
+                self.intra_norm.variables["params"]["scale"],
+                self.intra_norm.variables["params"]["bias"],
+                self.intra_norm.eps).reshape(b, t, f, c)
+        else:
+            y = self.intra_norm(inp)
         y = y.reshape(b * t, f, c)
         y, _ = self.intra_rnn(y, fused=(t == 1))  # [B*T, F, 2H]
         y = self.intra_linear(y)
@@ -387,7 +401,15 @@ class GridNetBlockStreaming(nn.Module):
 
         # --- inter-time causal RNN (carried h/c) -----------------------
         inp2 = y
-        z = self.inter_norm(y)  # [B, T, F, C]
+        if flat_ln:
+            from lookoncetohear_tpu.ops.norms import flat_layer_norm
+            z = flat_layer_norm(
+                y.reshape(b * f, c),
+                self.inter_norm.variables["params"]["scale"],
+                self.inter_norm.variables["params"]["bias"],
+                self.inter_norm.eps).reshape(b, t, f, c)
+        else:
+            z = self.inter_norm(y)  # [B, T, F, C]
         z = z.transpose(0, 2, 1, 3).reshape(b * f, t, c)
         h0 = state["h"].reshape(b * f, self.hidden)
         c0 = state["c"].reshape(b * f, self.hidden)
