@@ -324,7 +324,12 @@ def ring_attend_int8_native(q_t, k_t, v_t, k_buf, k_scale, v_buf,
             f=f, n_head=n_head, w_real=w,
             block_rows=int(os.environ.get(
                 "LOOKONCE_ATTN_BLOCK_ROWS", "16")),
-            w_chunk=int(os.environ.get("LOOKONCE_ATTN_WCHUNK", "0")))
+            w_chunk=int(os.environ.get("LOOKONCE_ATTN_WCHUNK", "0")),
+            # batched bf16 MXU dots instead of ring-sized f32
+            # elementwise temporaries (opt-in until chip-measured;
+            # see _ring_v2_step_kernel mxu_dot)
+            mxu_dot=os.environ.get(
+                "LOOKONCE_ATTN_MXU_DOT", "0") == "1")
 
     # ---- XLA fallback: write first (quantize + single-slot DUS on
     # the carried arrays, no reshape between carry and update) ------

@@ -212,7 +212,7 @@ def _ring_v2_step_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref,
                          vs_ref, kbuf_ref, vbuf_ref,
                          out_ref, kwin_ref, kscw_ref, vwin_ref,
                          vscw_ref, *, f: int, n_head: int,
-                         w_real: int, w_chunk: int):
+                         w_real: int, w_chunk: int, mxu_dot: bool):
     bb, dk = q_ref.shape
     dv = vt_ref.shape[1]
     wp = ks_ref.shape[1]                   # physical slots (padded)
@@ -227,14 +227,29 @@ def _ring_v2_step_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref,
     vt = vt_ref[:, :].astype(jnp.float32)
 
     # scores over the ring; w_chunk bounds the f32 temporaries (one
-    # whole-ring chunk measured fastest at the serving shape)
+    # whole-ring chunk measured fastest at the serving shape).
+    # mxu_dot: contract d with a BATCHED dot against the
+    # segment-masked Q operand (the XLA fallback's exact form,
+    # ops/attention.py ring_attend_int8_native) in bf16 with f32
+    # accumulation — no ring-sized elementwise product temporary;
+    # int8 -> bf16 is exact, q rounds to 8-bit mantissa (well inside
+    # the int8 ring's own quantization error).
+    if mxu_dot:
+        qseg16 = (q[:, :, None] * segk[None, :, :]).astype(
+            jnp.bfloat16)                          # [bb, DK, nh]
     parts = []
     for w0 in range(0, wp, w_chunk):
         wc = min(w_chunk, wp - w0)
-        kb = kbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.float32)
-        prod = kb * q[:, None, :]                  # [bb, wc, DK]
-        parts.append(jax.lax.dot(prod.reshape(bb * wc, dk),
-                                 segk).reshape(bb, wc, n_head))
+        if mxu_dot:
+            kb16 = kbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.bfloat16)
+            parts.append(jax.lax.dot_general(
+                kb16, qseg16, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))
+        else:
+            kb = kbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.float32)
+            prod = kb * q[:, None, :]              # [bb, wc, DK]
+            parts.append(jax.lax.dot(prod.reshape(bb * wc, dk),
+                                     segk).reshape(bb, wc, n_head))
     s4 = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     s4 = s4 * ks_ref[:, :, :] * inv                # [bb, WP, nh]
     # mask the dead padding slots and slot `pos` (just-written
@@ -250,13 +265,30 @@ def _ring_v2_step_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref,
     wgt = e_h * vs_ref[:, :, :]                    # [bb, WP, nh]
 
     outv = vt * (e_c @ segv.T)                     # [bb, DV]
-    for w0 in range(0, wp, w_chunk):
-        wc = min(w_chunk, wp - w0)
-        vb = vbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.float32)
-        wexp = jax.lax.dot(
-            wgt[:, w0:w0 + wc, :].reshape(bb * wc, n_head),
-            segv.T).reshape(bb, wc, dv)
-        outv = outv + jnp.sum(vb * wexp, axis=1)
+    if mxu_dot:
+        # G[b,h,d] = sum_w wgt[b,w,h] * V8[b,w,d] as one batched dot
+        # contracting the slot axis (4x the needed FLOPs — free on
+        # the MXU), then a tiny head-segment collapse; replaces a
+        # ring-sized weight-expansion temporary + a slot-axis VPU
+        # reduction per chunk.
+        g = jnp.zeros((bb, n_head, dv), jnp.float32)
+        wgt16 = wgt.astype(jnp.bfloat16)
+        for w0 in range(0, wp, w_chunk):
+            wc = min(w_chunk, wp - w0)
+            vb16 = vbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.bfloat16)
+            g = g + jax.lax.dot_general(
+                wgt16[:, w0:w0 + wc, :], vb16,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        outv = outv + jnp.sum(g * segv.T[None, :, :], axis=1)
+    else:
+        for w0 in range(0, wp, w_chunk):
+            wc = min(w_chunk, wp - w0)
+            vb = vbuf_ref[:, pl.ds(w0, wc), :].astype(jnp.float32)
+            wexp = jax.lax.dot(
+                wgt[:, w0:w0 + wc, :].reshape(bb * wc, n_head),
+                segv.T).reshape(bb, wc, dv)
+            outv = outv + jnp.sum(vb * wexp, axis=1)
     outv = outv / (den @ segv.T)
     out_ref[:, :] = outv.astype(out_ref.dtype)
 
@@ -298,13 +330,14 @@ def _ring_v2_step_kernel(pos_ref, q_ref, kt_ref, vt_ref, ks_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("f", "n_head", "w_real", "block_rows",
-                              "w_chunk", "interpret"))
+                              "w_chunk", "interpret", "mxu_dot"))
 def ring_attend_int8_step_pallas(q_t, k_t, v_t, k_buf, k_scale,
                                  v_buf, v_scale, pos, *, f: int,
                                  n_head: int, w_real: int,
                                  block_rows: int = 16,
                                  w_chunk: int = 0,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 mxu_dot: bool = False):
     """Full v2 int8 ring step (contract of
     ops.attention.ring_attend_int8_native on the padded ring):
     quantize -> aliased 8-slot-window write -> masked scores ->
@@ -333,7 +366,7 @@ def ring_attend_int8_step_pallas(q_t, k_t, v_t, k_buf, k_scale,
 
     kernel = functools.partial(_ring_v2_step_kernel, f=f,
                                n_head=n_head, w_real=w_real,
-                               w_chunk=w_chunk)
+                               w_chunk=w_chunk, mxu_dot=mxu_dot)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     win = lambda i, p: (i, p[0] // 8, 0)
     out, nkb, nks, nvb, nvs = pl.pallas_call(

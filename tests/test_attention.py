@@ -331,6 +331,37 @@ class TestInt8NativeRing:
                 np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
                                            err_msg=name)
 
+    def test_step_kernel_mxu_dot_matches_fallback(self):
+        """The batched-bf16-MXU-dot kernel variant (mxu_dot=True,
+        LOOKONCE_ATTN_MXU_DOT) == the XLA fallback: bit-exact int8
+        ring writes (the write path is untouched), scores/values
+        within bf16-contraction tolerance of the f32 form."""
+        from lookoncetohear_tpu.ops.pallas_attention import \
+            ring_attend_int8_step_pallas
+        q, kt, vt, kb, ks, vb, vs = self._mk(seed=23)
+        pos = jnp.asarray(4, jnp.int32)
+        import os
+        os.environ["LOOKONCE_NO_PALLAS"] = "1"
+        try:
+            ref = att.ring_attend_int8_native(
+                q, kt, vt, kb, ks, vb, vs, pos, f=self.F,
+                n_head=self.NH, w=self.W)
+        finally:
+            del os.environ["LOOKONCE_NO_PALLAS"]
+        got = ring_attend_int8_step_pallas(
+            q, kt, vt, kb, ks, vb, vs, pos, f=self.F, n_head=self.NH,
+            w_real=self.W, block_rows=8, w_chunk=4, interpret=True,
+            mxu_dot=True)
+        for name, a, b in zip(
+                ("out", "k_buf", "k_scale", "v_buf", "v_scale", "pos"),
+                ref, got):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype == np.int8:
+                np.testing.assert_array_equal(a, b, err_msg=name)
+            else:
+                np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2,
+                                           err_msg=name)
+
     def test_write_first_slot_isolation(self):
         """Stepping twice writes two distinct slots and leaves the
         others (incl. the dead padding slots) untouched."""
