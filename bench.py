@@ -74,6 +74,12 @@ _BACKOFFS = (60, 180, 300, 600, 600)
 # scripts/chain_r4.sh is 4 h and the chain removes it on exit.
 _LOCK = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "runs", ".chip_busy")
+# The reverse direction (ADVICE r4): while an attempt owns the chip,
+# the supervisor advertises it here so chain scripts can wait for the
+# bench instead of touching .chip_busy mid-measurement. Stale after
+# one attempt-timeout + slack (the marker is removed on attempt end).
+_BENCH_MARK = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "runs", ".bench_busy")
 
 
 def _lock_active() -> bool:
@@ -81,6 +87,18 @@ def _lock_active() -> bool:
         return time.time() - os.path.getmtime(_LOCK) < 4.5 * 3600
     except OSError:
         return False
+
+
+def _mark_bench(on: bool) -> None:
+    try:
+        if on:
+            os.makedirs(os.path.dirname(_BENCH_MARK), exist_ok=True)
+            with open(_BENCH_MARK, "w") as f:
+                f.write(str(os.getpid()))
+        else:
+            os.unlink(_BENCH_MARK)
+    except OSError:
+        pass
 
 
 def supervise() -> int:
@@ -107,6 +125,7 @@ def supervise() -> int:
                         "budget (runs/.chip_busy)")
             break
         attempt += 1
+        _mark_bench(True)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -129,6 +148,8 @@ def supervise() -> int:
         except subprocess.TimeoutExpired:
             last_err = (f"attempt {attempt} hung > "
                         f"{_ATTEMPT_TIMEOUT_S}s (wedged TPU?)")
+        finally:
+            _mark_bench(False)
         print(f"# bench {last_err}", file=sys.stderr, flush=True)
         remaining = _BUDGET_S - (time.monotonic() - t0)
         if remaining <= 0:
